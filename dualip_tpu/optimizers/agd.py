@@ -1,0 +1,315 @@
+"""Nesterov accelerated gradient ascent (the Maximizer).
+
+Parity: reference ``optimizers/agd.py:66-229`` — FISTA β-sequence, per-
+iteration Lipschitz-window step size, dual projection onto the nonnegative
+cone with equality-row passthrough, γ step-decay, iteration callback, and
+per-iteration dual-objective / step-size logs.  Golden traces
+(``tests/test_agd.py:93-107``, ``tests/objectives/
+test_dualip_matching_simplex.py:129-141``) are reproduced to 1e-5.
+
+TPU-native design (SURVEY.md §7.1):
+
+* The whole iteration — objective evaluation, step-size window, Nesterov
+  update, γ decay — is one traced function run under ``lax.scan`` in chunks.
+  Metric logs (dual objective, step size, grad norm, slacks) accumulate
+  **on device** and are fetched once per chunk; the reference forced a
+  device→host sync every iteration (``agd.py:167``, defect SURVEY.md §2.6.6).
+* Objective state (the problem tiles) is threaded through as an explicit
+  pytree argument, so XLA sees real buffers (shardable across the mesh), not
+  embedded constants.
+* There is no rank asymmetry: under SPMD every process runs the identical
+  update on replicated duals (the reference reduced to rank 0 and broadcast
+  back, ``agd.py:204-206`` — that round-trip does not exist here).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualip_tpu.optimizers.agd_utils import (
+    DEFAULT_HISTORY_LENGTH,
+    StepSizeState,
+    calculate_step_size,
+    init_step_size_state,
+)
+from dualip_tpu.types import ObjectiveResult, SolverResult
+
+Array = jax.Array
+
+
+def project_on_nn_cone(y: Array, equality_mask: Optional[Array] = None) -> Array:
+    """Project duals onto the nonnegative cone; equality rows stay free
+    (reference ``agd.py:13-21``)."""
+    projected = jnp.maximum(y, jnp.zeros((), dtype=y.dtype))
+    if equality_mask is not None:
+        return jnp.where(equality_mask, y, projected)
+    return projected
+
+
+def compute_beta_seq(max_iter: int) -> np.ndarray:
+    """FISTA momentum sequence β_i = (1 - t_{i+1}) / t_{i+2} with
+    t_{i+1} = (1 + sqrt(1 + 4 t_i²)) / 2 (reference ``agd.py:93-100``).
+
+    Computed host-side in float32 storage with float64 sqrt, matching the
+    reference's torch semantics so the golden traces line up.
+    """
+    t = np.zeros(max_iter + 2, dtype=np.float32)
+    for i in range(1, max_iter + 2):
+        t[i] = np.float32((1.0 + math.sqrt(1.0 + 4.0 * float(np.float32(t[i - 1]) ** 2))) / 2.0)
+    beta = np.zeros(max_iter, dtype=np.float32)
+    for i in range(max_iter):
+        beta[i] = (np.float32(1.0) - t[i + 1]) / t[i + 2]
+    return beta
+
+
+def format_objective_result_summary(iteration: int, objective_result: ObjectiveResult) -> str:
+    """One-line per-iteration summary (reference ``agd.py:24-63``)."""
+
+    def _fmt(name, val):
+        if val is None:
+            return None
+        try:
+            arr = np.asarray(val)
+            if arr.size == 1:
+                return f"{name}={arr.item()}"
+            return f"{name}.shape={tuple(arr.shape)}"
+        except Exception:
+            return f"{name}=<unprintable>"
+
+    try:
+        grad_norm = float(np.linalg.norm(np.asarray(objective_result.dual_gradient)))
+        grad_norm_str = f"dual_grad_norm={grad_norm}"
+    except Exception:
+        grad_norm_str = "dual_grad_norm=<unprintable>"
+
+    parts = [
+        f"iter={iteration}",
+        _fmt("dual_objective", objective_result.dual_objective),
+        grad_norm_str,
+        _fmt("reg_penalty", objective_result.reg_penalty),
+        _fmt("primal_objective", objective_result.primal_objective),
+        _fmt("primal_var", objective_result.primal_var),
+        _fmt("dual_val_times_grad", objective_result.dual_val_times_grad),
+        _fmt("max_pos_slack", objective_result.max_pos_slack),
+        _fmt("sum_pos_slack", objective_result.sum_pos_slack),
+    ]
+    return " | ".join(p for p in parts if p is not None)
+
+
+class _Metrics(NamedTuple):
+    dual_objective: Array
+    step_size: Array
+    grad_norm: Array
+    gamma: Array
+
+
+class _Carry(NamedTuple):
+    x: Array
+    y: Array
+    ss_state: StepSizeState
+    gamma: Array
+    max_step_size: Array
+
+
+class AcceleratedGradientDescent:
+    """Maximizes a dual objective with Nesterov-accelerated ascent.
+
+    Same constructor surface as the reference (``agd.py:66-91``) plus:
+
+    * ``callback_chunk``: iterations per device→host metrics fetch.  The
+      callback is still invoked once per iteration with exact values — just
+      ``callback_chunk`` iterations late.  Defaults to 1 when a callback or
+      per-iteration logging is requested, else the scan runs whole chunks
+      without host contact.
+    """
+
+    def __init__(
+        self,
+        max_iter: int,
+        gamma: Optional[float],
+        initial_step_size: float = 1e-5,
+        max_step_size: float = 0.1,
+        gamma_decay_type: Optional[str] = None,
+        gamma_decay_params: Optional[dict] = None,
+        save_primal: bool = False,
+        iteration_callback: Optional[Callable[[int, ObjectiveResult], None]] = None,
+        history_length: int = DEFAULT_HISTORY_LENGTH,
+        callback_chunk: int = 256,
+        verbose: bool = False,
+    ):
+        if gamma_decay_type not in (None, "step"):
+            raise ValueError(f"Unsupported gamma decay type: {gamma_decay_type}")
+        self.max_iter = max_iter
+        self.gamma = gamma
+        self.initial_step_size = float(initial_step_size)
+        self.max_step_size = float(max_step_size)
+        self.gamma_decay_type = gamma_decay_type
+        self.gamma_decay_params = gamma_decay_params or {}
+        self.save_primal = save_primal
+        self.history_length = history_length
+        self.callback_chunk = max(1, int(callback_chunk))
+        self.beta_seq = compute_beta_seq(max_iter)
+        self.verbose = verbose
+        self.iteration_callback = iteration_callback
+        if iteration_callback is None and verbose:
+            self.iteration_callback = self._default_iteration_callback
+
+    def _default_iteration_callback(self, iteration: int, objective_result: ObjectiveResult) -> None:
+        try:
+            print(format_objective_result_summary(iteration, objective_result))
+        except Exception:
+            pass  # logging must never crash a solve (reference agd.py:117-119)
+
+    # ------------------------------------------------------------------
+    def _calc(self, f, params: Any, dual_val: Array, gamma: Optional[Array]) -> ObjectiveResult:
+        """Invoke the objective's traceable calculate with reference kwargs
+        semantics (gamma passed only when configured, reference agd.py:152)."""
+        g = gamma if self.gamma is not None else None
+        if hasattr(f, "calculate_traceable"):
+            return f.calculate_traceable(params, dual_val, g)
+        # Duck-typed objectives (reference-style: just a pure `calculate`,
+        # see reference tests/test_agd.py:9-45) are traced directly.
+        kwargs = {"gamma": g} if self.gamma is not None else {}
+        return f.calculate(dual_val=dual_val, **kwargs)
+
+    def _make_step(self, f, equality_mask, dtype):
+        decay = self.gamma_decay_type == "step"
+        if decay:
+            decay_steps = int(self.gamma_decay_params["decay_steps"])
+            decay_factor = float(self.gamma_decay_params["decay_factor"])
+
+        def step(params, carry: _Carry, it_num: Array, beta: Array):
+            res = self._calc(f, params, carry.x, carry.gamma)
+            grad = res.dual_gradient
+            step_size, ss_state = calculate_step_size(
+                grad, carry.y, carry.ss_state, self.initial_step_size, carry.max_step_size
+            )
+            y_new = project_on_nn_cone(carry.x + grad * step_size, equality_mask)
+            x_new = y_new * (1.0 - beta) + carry.y * beta
+            gamma, max_step = carry.gamma, carry.max_step_size
+            if decay:
+                do = (it_num % decay_steps) == 0
+                gamma = jnp.where(do, gamma * decay_factor, gamma)
+                max_step = jnp.where(do, step_size * decay_factor, max_step)
+            metrics = _Metrics(
+                dual_objective=jnp.asarray(res.dual_objective, dtype=dtype),
+                step_size=jnp.asarray(step_size, dtype=dtype),
+                grad_norm=jnp.linalg.norm(grad).astype(dtype),
+                gamma=jnp.asarray(
+                    gamma if gamma is not None else jnp.nan, dtype=dtype
+                ),
+            )
+            return _Carry(x=x_new, y=y_new, ss_state=ss_state, gamma=gamma, max_step_size=max_step), metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    def maximize(self, f, initial_value: Array, rank: int = 0) -> SolverResult:
+        """Run ``max_iter`` ascent iterations (no early stopping, reference
+        ``agd.py:150-208``).  ``f`` must expose ``equality_mask``, ``params``
+        (a pytree, may be ``()``), and a pure ``calculate_traceable(params,
+        dual_val, gamma) -> ObjectiveResult``.  ``rank`` is accepted for API
+        parity; SPMD replicates the update on every process.
+        """
+        x0 = jnp.asarray(initial_value)
+        dtype = x0.dtype
+        m = x0.shape[0]
+        equality_mask = getattr(f, "equality_mask", None)
+        if equality_mask is not None:
+            equality_mask = jnp.asarray(equality_mask)
+        params = getattr(f, "params", ())
+
+        gamma0 = jnp.asarray(self.gamma if self.gamma is not None else jnp.nan, dtype=jnp.float32)
+        carry = _Carry(
+            x=x0,
+            y=x0,
+            ss_state=init_step_size_state(m, self.history_length, dtype),
+            gamma=gamma0,
+            max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
+        )
+        step = self._make_step(f, equality_mask, dtype)
+
+        beta_all = jnp.asarray(self.beta_seq)
+        it_all = jnp.arange(1, self.max_iter + 1, dtype=jnp.int32)
+
+        @jax.jit
+        def run_chunk(params, carry, it_chunk, beta_chunk):
+            def body(c, inp):
+                return step(params, c, inp[0].astype(jnp.int32), inp[1])
+
+            return jax.lax.scan(body, carry, (it_chunk, beta_chunk))
+
+        # The final iteration runs eagerly so we can honor save_primal and
+        # return a full ObjectiveResult (reference agd.py:155-158, 211-229).
+        n_scan = self.max_iter - 1
+
+        dual_obj_log: List[float] = []
+        step_size_log: List[float] = []
+        chunk = self.callback_chunk if self.iteration_callback is None else 1
+
+        pos = 0
+        while pos < n_scan:
+            size = min(chunk, n_scan - pos)
+            carry, metrics = run_chunk(
+                params, carry, it_all[pos : pos + size], beta_all[pos : pos + size]
+            )
+            mnp = jax.tree_util.tree_map(np.asarray, metrics)
+            dual_obj_log.extend(mnp.dual_objective.tolist())
+            step_size_log.extend(mnp.step_size.tolist())
+            if self.iteration_callback is not None:
+                for k in range(size):
+                    it = pos + 1 + k
+                    self.iteration_callback(
+                        it,
+                        ObjectiveResult(
+                            dual_gradient=None,
+                            dual_objective=mnp.dual_objective[k],
+                        ),
+                    )
+            pos += size
+
+        # ---- final iteration (eager, full result) ----
+        final_gamma = carry.gamma if self.gamma is not None else None
+        final_res = f.calculate(
+            dual_val=carry.x,
+            gamma=(float(np.asarray(carry.gamma)) if self.gamma is not None else None),
+            save_primal=self.save_primal,
+            rank=rank,
+        )
+        grad = jnp.asarray(final_res.dual_gradient)
+        step_size, ss_state = jax.jit(calculate_step_size, static_argnums=(3,))(
+            grad, carry.y, carry.ss_state, self.initial_step_size, carry.max_step_size
+        )
+        y_new = project_on_nn_cone(carry.x + grad * step_size, equality_mask)
+        beta_last = jnp.asarray(self.beta_seq[self.max_iter - 1])
+        x_new = y_new * (1.0 - beta_last) + carry.y * beta_last
+        del x_new  # parity: final returned dual is y (reference agd.py:212)
+
+        if self.iteration_callback is not None:
+            self.iteration_callback(self.max_iter, final_res)
+
+        dual_obj = float(np.asarray(final_res.dual_objective))
+        dual_obj_log.append(dual_obj)
+        step_size_log.append(float(np.asarray(step_size)))
+
+        # Track γ decay applied on the final iteration for API completeness.
+        if self.gamma_decay_type == "step":
+            if self.max_iter % int(self.gamma_decay_params["decay_steps"]) == 0:
+                self.gamma = float(np.asarray(carry.gamma)) * float(self.gamma_decay_params["decay_factor"])
+            else:
+                self.gamma = float(np.asarray(carry.gamma))
+        elif self.gamma is not None:
+            self.gamma = float(np.asarray(carry.gamma))
+
+        return SolverResult(
+            dual_val=y_new,
+            dual_objective=dual_obj,
+            objective_result=final_res,
+            dual_objective_log=dual_obj_log,
+            step_size_log=step_size_log,
+        )

@@ -1,0 +1,284 @@
+"""General-LP (MIPLIB-2017) dual objective + PDLP convergence certificate.
+
+Parity: reference ``objectives/miplib.py`` — dense or sparse A, indexed
+projections, optional internal Jacobi row scaling, and the PDLP stopping
+criterion (Applegate et al. 2022, Eq. 6a-6b) with bound-dual clamping
+(reference ``miplib.py:60-230``).
+
+TPU-native design:
+
+* Dense A: ``A.T @ λ`` and ``A @ x`` are plain matmuls → MXU.  Sparse A is
+  held as COO index/value arrays; both matvecs are gather + ``segment_sum``.
+* The per-entry indexed projections (reference ``miplib.py:79-90`` looped and
+  fancy-indexed on device) become static-index ``.at[idx].set`` updates —
+  traced once, fused by XLA.
+* Fixes two reference defects (SURVEY.md §2.6): Jacobi preconditioning works
+  for sparse A as well (the reference raised NotImplementedError,
+  ``miplib.py:51-52``), and ``invert_jacobi_precondition`` actually exists
+  (the reference's ``run_solver.py:141`` called a method defined nowhere).
+* Bound keys: accepts both the ``"l"``/``"u"`` and ``"lower"``/``"upper"``
+  spellings (reference defect §2.6.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualip_tpu.objectives.base import BaseInputArgs, BaseObjective
+from dualip_tpu.projections.base import ProjectionEntry, project
+from dualip_tpu.sparse.csc import CSCMatrix, csc_col_ids, row_norms_csc
+from dualip_tpu.types import ObjectiveResult
+
+Array = jax.Array
+
+
+@dataclass
+class MIPLIBInputArgs(BaseInputArgs):
+    """Input for the MIPLIB objective (reference ``miplib.py:11-25``)."""
+
+    A: Union[np.ndarray, CSCMatrix]
+    c: np.ndarray
+    projection_map: Dict[str, ProjectionEntry]
+    b_vec: np.ndarray
+    equality_mask: Optional[np.ndarray] = None
+
+
+class _DenseOps:
+    """Dense A: matvecs on the MXU."""
+
+    def __init__(self, A: np.ndarray, dtype):
+        self.A = jnp.asarray(np.asarray(A, dtype=dtype))
+        self.shape = self.A.shape
+
+    def matvec(self, x: Array) -> Array:  # A @ x
+        return self.A @ x
+
+    def rmatvec(self, y: Array) -> Array:  # A.T @ y
+        return self.A.T @ y
+
+    def row_norms(self) -> np.ndarray:
+        return np.linalg.norm(np.asarray(self.A), axis=1)
+
+
+class _SparseOps:
+    """COO A: gather + segment_sum matvecs."""
+
+    def __init__(self, A: CSCMatrix, dtype):
+        self.shape = A.shape
+        self.rows = jnp.asarray(A.row_indices.astype(np.int32))
+        self.cols = jnp.asarray(csc_col_ids(A).astype(np.int32))
+        self.vals = jnp.asarray(A.data.astype(dtype))
+        self._host = A
+
+    def matvec(self, x: Array) -> Array:
+        return jax.ops.segment_sum(self.vals * x[self.cols], self.rows, num_segments=self.shape[0])
+
+    def rmatvec(self, y: Array) -> Array:
+        return jax.ops.segment_sum(self.vals * y[self.rows], self.cols, num_segments=self.shape[1])
+
+    def row_norms(self) -> np.ndarray:
+        return row_norms_csc(self._host)
+
+
+def _param_bound(params: dict, short: str, long: str):
+    if short in params:
+        return params[short]
+    if long in params:
+        return params[long]
+    return None
+
+
+class MIPLIB2017ObjectiveFunction(BaseObjective):
+    """General-LP dual objective (reference ``miplib.py:28-109``)."""
+
+    def __init__(
+        self,
+        miplib_input_args: MIPLIBInputArgs,
+        use_jacobi_precondition: bool = False,
+        dtype=np.float32,
+    ):
+        args = miplib_input_args
+        self._sparse = isinstance(args.A, CSCMatrix)
+        self.ops = _SparseOps(args.A, dtype) if self._sparse else _DenseOps(args.A, dtype)
+        self.c = jnp.asarray(np.asarray(args.c, dtype=dtype))
+        self.b_vec = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
+        self.projection_map = args.projection_map
+        self.equality_mask = (
+            jnp.asarray(np.asarray(args.equality_mask)) if args.equality_mask is not None else None
+        )
+        self.use_jacobi_precondition = use_jacobi_precondition
+
+        lower, upper = self._construct_variable_lower_upper_bound()
+        self.lower = jnp.asarray(lower)
+        self.upper = jnp.asarray(upper)
+
+        if use_jacobi_precondition:
+            rn = self.ops.row_norms()
+            rn = np.where(rn == 0, 1.0, rn)  # guard all-zero rows (reference miplib.py:55-56)
+            self.row_norms = jnp.asarray(rn.astype(dtype))
+        else:
+            self.row_norms = None
+
+        # Static per-entry index arrays for the projection pass.
+        self._proj_entries = []
+        for _, entry in self.projection_map.items():
+            idx = np.asarray(entry.indices, dtype=np.int32)
+            if idx.size:
+                self._proj_entries.append((jnp.asarray(idx), project(entry.proj_type, **entry.proj_params)))
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self):
+        return ()
+
+    def _project(self, z: Array) -> Array:
+        """Indexed projections (reference ``miplib.py:79-90``)."""
+        out = z
+        for idx, proj_fn in self._proj_entries:
+            out = out.at[idx].set(proj_fn(out[idx]))
+        return out
+
+    def calculate_traceable(self, params, dual_val: Array, gamma) -> ObjectiveResult:
+        res, _ = self._calculate_full(dual_val, gamma)
+        return res
+
+    def _calculate_full(self, dual_val: Array, gamma) -> Tuple[ObjectiveResult, Array]:
+        """Reference ``miplib.py:60-109``, identical op structure."""
+        if self.row_norms is not None:
+            dual_val = (1.0 / self.row_norms) * dual_val
+
+        g = jnp.asarray(gamma, dtype=dual_val.dtype)
+        z = (-1.0 / g) * (self.ops.rmatvec(dual_val) + self.c)
+        projected = self._project(z)
+
+        Ax_minus_b = self.ops.matvec(projected) - self.b_vec
+        if self.row_norms is not None:
+            dual_gradient = (1.0 / self.row_norms) * Ax_minus_b
+        else:
+            dual_gradient = Ax_minus_b
+
+        reg_penalty = (g / 2.0) * jnp.sum(projected * projected)
+        dual_obj = self.c @ projected + reg_penalty + dual_val @ Ax_minus_b
+        res = ObjectiveResult(
+            dual_gradient=dual_gradient, dual_objective=dual_obj, reg_penalty=reg_penalty
+        )
+        return res, projected
+
+    def calculate(
+        self,
+        dual_val: Array,
+        gamma: float,
+        save_primal: bool = False,
+        rank: int = 0,
+        **kwargs,
+    ) -> ObjectiveResult:
+        del rank, kwargs
+        dual_val = jnp.asarray(dual_val)
+        res, projected = jax.jit(self._calculate_full)(dual_val, gamma)
+        if save_primal:
+            res.primal_var = projected
+            res.primal_objective = self.c @ projected
+        return res
+
+    # ------------------------------------------------------------------
+    def invert_jacobi_precondition(self, dual_val: Array, dual_grad: Array):
+        """Map a dual/gradient pair from the row-scaled problem back to the
+        original scaling.  With D = diag(1/row_norms), the solved problem is
+        (DA) x <= Db, so λ_orig = D λ' and grad_orig = D^{-1} grad'.
+
+        The reference's ``run_solver`` called this method but never defined it
+        (reference ``run_solver.py:141``, defect SURVEY.md §2.6.2).
+        """
+        if self.row_norms is None:
+            return dual_val, dual_grad
+        return (1.0 / self.row_norms) * dual_val, self.row_norms * dual_grad
+
+    # ------------------------------------------------------------------
+    def _construct_variable_lower_upper_bound(self):
+        """Per-variable (l, u) from box/cone params (reference ``miplib.py:111-121``);
+        NaN == absent."""
+        n = np.asarray(self.c).shape[0]
+        lower = np.full(n, np.nan, dtype=np.float32)
+        upper = np.full(n, np.nan, dtype=np.float32)
+        for _, entry in self.projection_map.items():
+            idx = np.asarray(entry.indices, dtype=np.int64)
+            lo = _param_bound(entry.proj_params, "l", "lower")
+            up = _param_bound(entry.proj_params, "u", "upper")
+            if lo is not None:
+                lower[idx] = lo
+            if up is not None:
+                upper[idx] = up
+        return lower, upper
+
+    @staticmethod
+    def _clamp_x_bound_duals(x_bound_duals: Array, l_mask_exists: Array, u_mask_exists: Array) -> Array:
+        """Project bound-duals onto Λ (reference ``miplib.py:123-154``):
+        l-only -> >= 0; u-only -> <= 0; neither -> 0; both -> free."""
+        zero = jnp.zeros((), dtype=x_bound_duals.dtype)
+        out = x_bound_duals
+        out = jnp.where(l_mask_exists & ~u_mask_exists, jnp.maximum(out, zero), out)
+        out = jnp.where(~l_mask_exists & u_mask_exists, jnp.minimum(out, zero), out)
+        out = jnp.where(~l_mask_exists & ~u_mask_exists, zero, out)
+        return out
+
+    def calculate_convergence_bound(
+        self,
+        dual_val: Array,
+        x: Optional[Array] = None,
+        optimal_primal_obj: Optional[float] = None,
+        tol: float = 1e-4,
+    ):
+        """PDLP stopping test (reference ``miplib.py:156-230``).
+
+        Returns (gap_upperbound, gap_lowerbound, primal_feas, dual_feas,
+        converged); ``converged`` is a Python bool.
+        """
+        dual_val = jnp.asarray(dual_val)
+        if self.row_norms is not None:
+            dual_val = (1.0 / self.row_norms) * dual_val
+
+        r = self.c + self.ops.rmatvec(dual_val)  # reduced cost
+
+        if x is None:
+            x = jnp.where(r >= 0, self.lower, self.upper)
+            if bool(jnp.isnan(x).any()):
+                raise ValueError("Unbounded x.")
+        else:
+            x = jnp.asarray(x)
+
+        lambda_neg = jnp.minimum(r, 0.0)
+        lambda_pos = jnp.maximum(r, 0.0)
+
+        u_exists = ~jnp.isnan(self.upper)
+        l_exists = ~jnp.isnan(self.lower)
+
+        lambda_u = jnp.sum(jnp.where(u_exists, lambda_neg * jnp.nan_to_num(self.upper), 0.0))
+        lambda_l = jnp.sum(jnp.where(l_exists, lambda_pos * jnp.nan_to_num(self.lower), 0.0))
+        d = -jnp.dot(self.b_vec, dual_val) + lambda_u + lambda_l
+
+        p = jnp.dot(self.c, x)
+        gap_upperbound = jnp.abs(p - d) / (1.0 + jnp.abs(p) + jnp.abs(d))
+
+        if optimal_primal_obj is not None:
+            opt = jnp.asarray(optimal_primal_obj, dtype=p.dtype)
+            gap_lower_bound = jnp.abs(p - opt) / (1.0 + jnp.abs(p) + jnp.abs(opt))
+        else:
+            gap_lower_bound = jnp.asarray(jnp.nan)
+
+        Ax_minus_b = self.ops.matvec(x) - self.b_vec
+        if self.equality_mask is None:
+            row_violation = jnp.maximum(Ax_minus_b, 0.0)
+        else:
+            row_violation = jnp.where(self.equality_mask, jnp.abs(Ax_minus_b), jnp.maximum(Ax_minus_b, 0.0))
+        primal_feas = jnp.linalg.norm(row_violation) / (1.0 + jnp.linalg.norm(self.b_vec))
+
+        x_bound_duals = self._clamp_x_bound_duals(-r, l_exists, u_exists)
+        dual_feas = jnp.linalg.norm(r + x_bound_duals) / (1.0 + jnp.linalg.norm(self.c))
+
+        converged = bool((gap_upperbound <= tol) & (primal_feas <= tol) & (dual_feas <= tol))
+        return gap_upperbound, gap_lower_bound, primal_feas, dual_feas, converged

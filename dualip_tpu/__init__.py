@@ -17,3 +17,5 @@ from dualip_tpu.types import (  # noqa: F401
     SolverArgs,
     SolverResult,
 )
+
+from dualip_tpu.run_solver import build_objective, run_solver, transfer_tensors_to_device  # noqa: F401,E402

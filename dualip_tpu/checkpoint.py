@@ -1,0 +1,45 @@
+"""Dual-vector checkpointing / warm start.
+
+Parity: the reference's resilience model is restart-from-dual — callers save
+the dual and pass ``SolverArgs.initial_dual_path`` to resume (reference
+``types.py:13``, ``run_solver.py:127-132``, README "warm start").  Here the
+checkpoint is a plain ``.npz`` holding the dual and, optionally, the
+step-size engine's rolling window so a resumed solve re-enters the secant
+step-size regime immediately instead of replaying 15 initial-step iterations
+(SURVEY.md §5 checkpoint/resume)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from dualip_tpu.optimizers.agd_utils import StepSizeState
+
+
+def save_dual(path: str, dual_val, step_size_state: Optional[StepSizeState] = None) -> None:
+    arrays = {"dual_val": np.asarray(dual_val)}
+    if step_size_state is not None:
+        arrays["grad_hist"] = np.asarray(step_size_state.grad_hist)
+        arrays["dual_hist"] = np.asarray(step_size_state.dual_hist)
+        arrays["count"] = np.asarray(step_size_state.count)
+    np.savez(Path(path), **arrays)
+
+
+def load_dual(path: str) -> Tuple[np.ndarray, Optional[StepSizeState]]:
+    p = Path(path)
+    if not p.exists() and p.with_suffix(p.suffix + ".npz").exists():
+        p = p.with_suffix(p.suffix + ".npz")
+    with np.load(p) as data:
+        dual = data["dual_val"]
+        state = None
+        if "grad_hist" in data:
+            import jax.numpy as jnp
+
+            state = StepSizeState(
+                grad_hist=jnp.asarray(data["grad_hist"]),
+                dual_hist=jnp.asarray(data["dual_hist"]),
+                count=jnp.asarray(data["count"]),
+            )
+    return dual, state

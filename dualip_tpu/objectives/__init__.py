@@ -8,3 +8,7 @@ from dualip_tpu.objectives.matching import (  # noqa: F401
     calc_grad,
     matching_local_parts,
 )
+from dualip_tpu.objectives.miplib import (  # noqa: F401
+    MIPLIB2017ObjectiveFunction,
+    MIPLIBInputArgs,
+)

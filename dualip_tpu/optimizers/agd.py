@@ -38,6 +38,7 @@ from dualip_tpu.optimizers.agd_utils import (
     init_step_size_state,
 )
 from dualip_tpu.types import ObjectiveResult, SolverResult
+from dualip_tpu.utils.mlflow_utils import _mlflow_state, log_metrics, log_objective_result
 
 Array = jax.Array
 
@@ -261,9 +262,9 @@ class AcceleratedGradientDescent:
             mnp = jax.tree_util.tree_map(np.asarray, metrics)
             dual_obj_log.extend(mnp.dual_objective.tolist())
             step_size_log.extend(mnp.step_size.tolist())
-            if self.iteration_callback is not None:
-                for k in range(size):
-                    it = pos + 1 + k
+            for k in range(size):
+                it = pos + 1 + k
+                if self.iteration_callback is not None:
                     self.iteration_callback(
                         it,
                         ObjectiveResult(
@@ -271,6 +272,17 @@ class AcceleratedGradientDescent:
                             dual_objective=mnp.dual_objective[k],
                         ),
                     )
+                # Per-iteration MLflow metric contract (reference
+                # agd.py:190-201), fed from the chunked device logs — no
+                # per-iteration device sync.
+                if _mlflow_state.is_enabled():
+                    iteration_metrics = {
+                        "step_size": float(mnp.step_size[k]),
+                        "dual_objective": float(mnp.dual_objective[k]),
+                    }
+                    if self.gamma is not None:
+                        iteration_metrics["gamma"] = float(mnp.gamma[k])
+                    log_metrics(iteration_metrics, step=it)
             pos += size
 
         # ---- final iteration (eager, full result) ----
@@ -292,6 +304,14 @@ class AcceleratedGradientDescent:
 
         if self.iteration_callback is not None:
             self.iteration_callback(self.max_iter, final_res)
+        if _mlflow_state.is_enabled():
+            log_metrics(
+                {"step_size": float(np.asarray(step_size)),
+                 "dual_objective": float(np.asarray(final_res.dual_objective)),
+                 **({"gamma": float(np.asarray(carry.gamma))} if self.gamma is not None else {})},
+                step=self.max_iter,
+            )
+            log_objective_result(final_res, step=self.max_iter)
 
         dual_obj = float(np.asarray(final_res.dual_objective))
         dual_obj_log.append(dual_obj)

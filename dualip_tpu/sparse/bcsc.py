@@ -185,8 +185,11 @@ def build_blockcsc(
         raise ValueError("A and c must share the same CSC sparsity pattern")
     m, n = A.shape
     lengths = A.col_lengths
-    if (lengths == 0).any():
-        raise ValueError("BlockCSC requires every column to have at least one nonzero")
+    # Empty columns carry no variables; they are dropped from the tiles,
+    # matching the reference where nnz-bucketing silently excludes them
+    # (a 0-length column lands below the first power-of-2 bucket,
+    # reference matching.py:102-113).
+    has_empty = bool((lengths == 0).any())
 
     thresholds = _pow2_thresholds(m)
     # torch.bucketize(right=False): index i s.t. th[i-1] < len <= th[i]
@@ -197,6 +200,8 @@ def build_blockcsc(
     specs: List[TileSpec] = []
 
     def add_entry(entry_key: str, proj_type: str, proj_params: Dict, indices: np.ndarray):
+        if has_empty and len(indices):
+            indices = indices[lengths[indices] > 0]
         if len(indices) == 0:
             return
         if batching:

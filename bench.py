@@ -1,0 +1,168 @@
+"""Canonical benchmark: synthetic matching LP, dual-ascent iterations/sec.
+
+Workload parity: the reference's canonical single-device benchmark —
+25M sources × 10K destinations at 1e-3 sparsity (~250M nnz), fp32, seed 42,
+AGD steps 1e-3/max 1e-1 (reference ``benchmark/config.py:9-19``).
+
+Measurement protocol (this TPU is reached through a shared tunneled PJRT
+pool: program launches/compiles have multi-second noise, a device→host fetch
+degrades subsequent launches, and ``block_until_ready`` is a no-op — so a
+classic warmup+timeit protocol is meaningless here):
+
+* each *measurement run* is a fresh subprocess that does ONE solve (the
+  whole solve is a single XLA program launch) terminated by one host fetch,
+  and reports its wall time;
+* per-iteration time = slope between two iteration counts (N_small, N_big),
+  taking the MINIMUM total over repeats of each (noise is additive);
+* the remote compile service caches by HLO hash, so repeats after the first
+  don't pay compilation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference PyTorch implementation
+measured on this machine's CPU (no CUDA GPU exists here; the reference
+publishes no absolute numbers — see BASELINE.md), stored in
+``benchmark/baselines.json`` by ``benchmark/measure_torch_baseline.py``,
+scaled to this workload's nnz (per-iteration work is O(nnz) in both).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).parent
+sys.path.insert(0, str(HERE))
+sys.path.insert(0, str(HERE / "benchmark"))
+
+
+def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
+    """Run one solve; print JSON info to stdout. Executed in a subprocess."""
+    import jax.numpy as jnp
+
+    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from generate_synthetic_data import generate_synthetic_matching_input_args
+
+    t0 = time.perf_counter()
+    args = generate_synthetic_matching_input_args(num_sources, num_dests, sparsity, seed=seed)
+    gen_s = time.perf_counter() - t0
+    nnz = args.A.nnz
+
+    t0 = time.perf_counter()
+    obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, keep_flat_idx=False)
+    build_s = time.perf_counter() - t0
+
+    solver = AcceleratedGradientDescent(
+        max_iter=max_iter, gamma=1e-3, initial_step_size=1e-3, max_step_size=1e-1
+    )
+    lam0 = jnp.zeros(num_dests, jnp.float32)
+    t0 = time.perf_counter()
+    res = solver.maximize(obj, lam0)
+    solve_s = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "nnz": nnz,
+                "iters": max_iter,
+                "gen_s": round(gen_s, 1),
+                "build_s": round(build_s, 1),
+                "solve_s": round(solve_s, 2),
+                "dual_objective": res.dual_objective,
+            }
+        )
+    )
+
+
+def _run_child(num_sources, num_dests, sparsity, iters, seed):
+    env = dict(os.environ)
+    env["DUALIP_BENCH_CHILD"] = json.dumps(
+        {"s": num_sources, "d": num_dests, "sp": sparsity, "it": iters, "seed": seed}
+    )
+    out = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve())],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000)),
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"child failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+def main():
+    child_cfg = os.environ.get("DUALIP_BENCH_CHILD")
+    if child_cfg:
+        cfg = json.loads(child_cfg)
+        del os.environ["DUALIP_BENCH_CHILD"]
+        _solve_once(cfg["s"], cfg["d"], cfg["sp"], cfg["it"], cfg["seed"])
+        return
+
+    num_sources = int(os.environ.get("DUALIP_BENCH_SOURCES", 25_000_000))
+    num_dests = int(os.environ.get("DUALIP_BENCH_DESTS", 10_000))
+    sparsity = float(os.environ.get("DUALIP_BENCH_SPARSITY", 1e-3))
+    n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 100))
+    n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 1000))
+    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 3))
+    seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
+
+    results = {n_small: [], n_big: []}
+    info = None
+    for rep in range(repeats):
+        for n in (n_small, n_big):
+            r = _run_child(num_sources, num_dests, sparsity, n, seed)
+            results[n].append(r["solve_s"])
+            info = r
+            print(
+                f"# rep {rep} iters={n}: solve {r['solve_s']}s (gen {r['gen_s']}s, "
+                f"build {r['build_s']}s, obj {r['dual_objective']:.2f})",
+                file=sys.stderr,
+            )
+
+    t_small = min(results[n_small])
+    t_big = min(results[n_big])
+    per_iter = (t_big - t_small) / (n_big - n_small)
+    if per_iter <= 0:
+        per_iter = t_big / n_big  # noise floor: fall back to raw rate
+    ips = 1.0 / per_iter
+
+    baseline = None
+    baselines_path = HERE / "benchmark" / "baselines.json"
+    if baselines_path.exists():
+        data = json.loads(baselines_path.read_text())
+        entry = data.get("torch_cpu_matching")
+        if entry:
+            baseline = entry["iters_per_sec"] * entry["nnz"] / info["nnz"]
+
+    print(
+        json.dumps(
+            {
+                "nnz": info["nnz"],
+                "t_small_min_s": t_small,
+                "t_big_min_s": t_big,
+                "ms_per_iter": round(per_iter * 1000, 3),
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "matching_iters_per_sec",
+                "value": round(ips, 2),
+                "unit": "iter/s",
+                "vs_baseline": round(ips / baseline, 2) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

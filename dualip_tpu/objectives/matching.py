@@ -166,6 +166,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             dtype=dtype,
         )
         self.bcsc = device_put_blockcsc(self.bcsc, sharding)
+        self._jit_cache = {}
         if args.b_vec is not None:
             b = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
             if mesh is not None:
@@ -198,25 +199,34 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
     ) -> ObjectiveResult:
         del rank, kwargs
         g = self.gamma if gamma is None else gamma
+        if not isinstance(g, jax.Array):
+            g = jnp.asarray(np.float32(g))  # host scalar, no device round-trip
         dual_val = jnp.asarray(dual_val)
 
         if not save_primal:
-            return jax.jit(lambda p, dv: self.calculate_traceable(p, dv, g))(
-                self.params, dual_val
-            )
+            fn = self._jit_cache.get("calc")
+            if fn is None:
+                fn = jax.jit(lambda p, dv, gg: self.calculate_traceable(p, dv, gg))
+                self._jit_cache["calc"] = fn
+            return fn(self.params, dual_val, g)
 
-        @jax.jit
-        def run(params, dv):
-            bcsc, b_vec = params
-            grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, g, want_primal=True)
-            primal_obj = dual_obj  # c·x before finalization (reference matching.py:160-161)
-            if b_vec is not None:
-                res = _finalize(grad, dual_obj, reg, dv, b_vec)
-            else:
-                res = ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)
-            return res, primal_obj, xs
+        run = self._jit_cache.get("calc_primal")
+        if run is None:
 
-        res, primal_obj, xs = run(self.params, dual_val)
+            @jax.jit
+            def run(params, dv, gg):
+                bcsc, b_vec = params
+                grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, gg, want_primal=True)
+                primal_obj = dual_obj  # c·x before finalization (reference matching.py:160-161)
+                if b_vec is not None:
+                    res = _finalize(grad, dual_obj, reg, dv, b_vec)
+                else:
+                    res = ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)
+                return res, primal_obj, xs
+
+            self._jit_cache["calc_primal"] = run
+
+        res, primal_obj, xs = run(self.params, dual_val, g)
         res.primal_objective = primal_obj
         # Flat CSC-ordered nnz vector, like the reference's intermediate.values()
         # (reference matching.py:156-162).

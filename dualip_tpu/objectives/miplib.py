@@ -179,7 +179,10 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
     ) -> ObjectiveResult:
         del rank, kwargs
         dual_val = jnp.asarray(dual_val)
-        res, projected = jax.jit(self._calculate_full)(dual_val, gamma)
+        if not hasattr(self, "_jit_calc"):
+            self._jit_calc = jax.jit(self._calculate_full)
+        g = gamma if isinstance(gamma, jax.Array) else jnp.asarray(np.float32(gamma))
+        res, projected = self._jit_calc(dual_val, g)
         if save_primal:
             res.primal_var = projected
             res.primal_objective = self.c @ projected

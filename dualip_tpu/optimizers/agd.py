@@ -9,11 +9,18 @@ test_dualip_matching_simplex.py:129-141``) are reproduced to 1e-5.
 
 TPU-native design (SURVEY.md §7.1):
 
-* The whole iteration — objective evaluation, step-size window, Nesterov
-  update, γ decay — is one traced function run under ``lax.scan`` in chunks.
-  Metric logs (dual objective, step size, grad norm, slacks) accumulate
-  **on device** and are fetched once per chunk; the reference forced a
-  device→host sync every iteration (``agd.py:167``, defect SURVEY.md §2.6.6).
+* The whole solve — every objective evaluation, step-size window update,
+  Nesterov update, γ decay, and the per-iteration metric log — is ONE
+  ``lax.scan`` program compiled once and launched once (chunked only when a
+  per-iteration observer is attached).  The reference did a device→host sync
+  per iteration (``agd.py:167``, defect SURVEY.md §2.6.6); here the entire
+  metric history accumulates on device and is fetched in a single transfer
+  at the end.  On tunneled PJRT backends a program launch re-stages its
+  argument buffers, so one-launch-per-solve is also what makes large problem
+  tiles affordable.
+* The final iteration's full ObjectiveResult is assembled from the scan's
+  last-step metrics and the gradient carried out of the loop — no separate
+  evaluation program (``save_primal`` adds exactly one extra launch).
 * Objective state (the problem tiles) is threaded through as an explicit
   pytree argument, so XLA sees real buffers (shardable across the mesh), not
   embedded constants.
@@ -25,6 +32,8 @@ TPU-native design (SURVEY.md §7.1):
 from __future__ import annotations
 
 import math
+import os
+import time
 from typing import Any, Callable, List, NamedTuple, Optional
 
 import jax
@@ -76,17 +85,21 @@ def format_objective_result_summary(iteration: int, objective_result: ObjectiveR
             return None
         try:
             arr = np.asarray(val)
+            if np.issubdtype(arr.dtype, np.floating) and arr.size == 1 and np.isnan(arr):
+                return None
             if arr.size == 1:
                 return f"{name}={arr.item()}"
             return f"{name}.shape={tuple(arr.shape)}"
         except Exception:
             return f"{name}=<unprintable>"
 
-    try:
-        grad_norm = float(np.linalg.norm(np.asarray(objective_result.dual_gradient)))
-        grad_norm_str = f"dual_grad_norm={grad_norm}"
-    except Exception:
-        grad_norm_str = "dual_grad_norm=<unprintable>"
+    grad_norm_str = None
+    if objective_result.dual_gradient is not None:
+        try:
+            grad_norm = float(np.linalg.norm(np.asarray(objective_result.dual_gradient)))
+            grad_norm_str = f"dual_grad_norm={grad_norm}"
+        except Exception:
+            grad_norm_str = "dual_grad_norm=<unprintable>"
 
     parts = [
         f"iter={iteration}",
@@ -103,10 +116,16 @@ def format_objective_result_summary(iteration: int, objective_result: ObjectiveR
 
 
 class _Metrics(NamedTuple):
+    """Per-iteration scalars logged on device inside the scan."""
+
     dual_objective: Array
     step_size: Array
     grad_norm: Array
     gamma: Array
+    reg_penalty: Array
+    dual_val_times_grad: Array
+    max_pos_slack: Array
+    sum_pos_slack: Array
 
 
 class _Carry(NamedTuple):
@@ -115,6 +134,8 @@ class _Carry(NamedTuple):
     ss_state: StepSizeState
     gamma: Array
     max_step_size: Array
+    last_grad: Array  # gradient evaluated at this iteration's x (pre-update)
+    last_x: Array  # the x the last objective evaluation used (for save_primal)
 
 
 class AcceleratedGradientDescent:
@@ -122,11 +143,12 @@ class AcceleratedGradientDescent:
 
     Same constructor surface as the reference (``agd.py:66-91``) plus:
 
-    * ``callback_chunk``: iterations per device→host metrics fetch.  The
-      callback is still invoked once per iteration with exact values — just
-      ``callback_chunk`` iterations late.  Defaults to 1 when a callback or
-      per-iteration logging is requested, else the scan runs whole chunks
-      without host contact.
+    * ``callback_chunk``: when an iteration callback or MLflow logging is
+      active, iterations run in chunks of this size and the callback is
+      invoked once per iteration with exact values (``callback_chunk``
+      iterations late).  Without an observer the whole solve is one program.
+    * ``collect_stats``: record wall-clock phases of the next ``maximize``
+      in ``last_run_stats`` (used by benchmarks).
     """
 
     def __init__(
@@ -140,7 +162,7 @@ class AcceleratedGradientDescent:
         save_primal: bool = False,
         iteration_callback: Optional[Callable[[int, ObjectiveResult], None]] = None,
         history_length: int = DEFAULT_HISTORY_LENGTH,
-        callback_chunk: int = 256,
+        callback_chunk: int = 1,
         verbose: bool = False,
     ):
         if gamma_decay_type not in (None, "step"):
@@ -159,6 +181,11 @@ class AcceleratedGradientDescent:
         self.iteration_callback = iteration_callback
         if iteration_callback is None and verbose:
             self.iteration_callback = self._default_iteration_callback
+        # Compiled chunk-runner cache keyed per objective identity; also holds
+        # which ObjectiveResult fields the objective produces (trace-time).
+        self._jit_cache = {}
+        self.collect_stats = False
+        self.last_run_stats = None
 
     def _default_iteration_callback(self, iteration: int, objective_result: ObjectiveResult) -> None:
         try:
@@ -178,11 +205,18 @@ class AcceleratedGradientDescent:
         kwargs = {"gamma": g} if self.gamma is not None else {}
         return f.calculate(dual_val=dual_val, **kwargs)
 
-    def _make_step(self, f, equality_mask, dtype):
+    def _make_step(self, f, equality_mask, dtype, fields_present: dict):
         decay = self.gamma_decay_type == "step"
         if decay:
             decay_steps = int(self.gamma_decay_params["decay_steps"])
             decay_factor = float(self.gamma_decay_params["decay_factor"])
+
+        nan = jnp.asarray(jnp.nan, dtype=dtype)
+
+        def opt(val, name):
+            # Record at trace time which optional fields exist.
+            fields_present[name] = val is not None
+            return jnp.asarray(val, dtype=dtype) if val is not None else nan
 
         def step(params, carry: _Carry, it_num: Array, beta: Array):
             res = self._calc(f, params, carry.x, carry.gamma)
@@ -201,11 +235,22 @@ class AcceleratedGradientDescent:
                 dual_objective=jnp.asarray(res.dual_objective, dtype=dtype),
                 step_size=jnp.asarray(step_size, dtype=dtype),
                 grad_norm=jnp.linalg.norm(grad).astype(dtype),
-                gamma=jnp.asarray(
-                    gamma if gamma is not None else jnp.nan, dtype=dtype
-                ),
+                gamma=jnp.asarray(gamma, dtype=dtype),
+                reg_penalty=opt(res.reg_penalty, "reg_penalty"),
+                dual_val_times_grad=opt(res.dual_val_times_grad, "dual_val_times_grad"),
+                max_pos_slack=opt(res.max_pos_slack, "max_pos_slack"),
+                sum_pos_slack=opt(res.sum_pos_slack, "sum_pos_slack"),
             )
-            return _Carry(x=x_new, y=y_new, ss_state=ss_state, gamma=gamma, max_step_size=max_step), metrics
+            new_carry = _Carry(
+                x=x_new,
+                y=y_new,
+                ss_state=ss_state,
+                gamma=gamma,
+                max_step_size=max_step,
+                last_grad=grad,
+                last_x=carry.x,
+            )
+            return new_carry, metrics
 
         return step
 
@@ -217,6 +262,9 @@ class AcceleratedGradientDescent:
         dual_val, gamma) -> ObjectiveResult``.  ``rank`` is accepted for API
         parity; SPMD replicates the update on every process.
         """
+        _timing = os.environ.get("DUALIP_TIMING") == "1"
+        t_start = time.perf_counter()
+
         x0 = jnp.asarray(initial_value)
         dtype = x0.dtype
         m = x0.shape[0]
@@ -232,49 +280,63 @@ class AcceleratedGradientDescent:
             ss_state=init_step_size_state(m, self.history_length, dtype),
             gamma=gamma0,
             max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
+            last_grad=jnp.zeros(m, dtype=dtype),
+            last_x=x0,
         )
-        step = self._make_step(f, equality_mask, dtype)
-
         beta_all = jnp.asarray(self.beta_seq)
         it_all = jnp.arange(1, self.max_iter + 1, dtype=jnp.int32)
 
-        @jax.jit
-        def run_chunk(params, carry, it_chunk, beta_chunk):
-            def body(c, inp):
-                return step(params, c, inp[0].astype(jnp.int32), inp[1])
+        cache_key = (id(f), bool(equality_mask is not None), str(dtype))
+        cached = self._jit_cache.get(cache_key)
+        if cached is None:
+            fields_present: dict = {}
+            step = self._make_step(f, equality_mask, dtype, fields_present)
 
-            return jax.lax.scan(body, carry, (it_chunk, beta_chunk))
+            @jax.jit
+            def run_chunk(params, carry, it_chunk, beta_chunk):
+                def body(c, inp):
+                    return step(params, c, inp[0].astype(jnp.int32), inp[1])
 
-        # The final iteration runs eagerly so we can honor save_primal and
-        # return a full ObjectiveResult (reference agd.py:155-158, 211-229).
-        n_scan = self.max_iter - 1
+                return jax.lax.scan(body, carry, (it_chunk, beta_chunk))
+
+            cached = (run_chunk, fields_present)
+            self._jit_cache[cache_key] = cached
+        run_chunk, fields_present = cached
+
+        observing = self.iteration_callback is not None or _mlflow_state.is_enabled()
+        chunk = self.callback_chunk if observing else self.max_iter
 
         dual_obj_log: List[float] = []
         step_size_log: List[float] = []
-        chunk = self.callback_chunk if self.iteration_callback is None else 1
+        deferred: List[_Metrics] = []
+
+        t_first_chunk = None
+        steady_iters = 0
 
         pos = 0
-        while pos < n_scan:
-            size = min(chunk, n_scan - pos)
+        while pos < self.max_iter:
+            size = min(chunk, self.max_iter - pos)
+            t0 = time.perf_counter() if _timing else 0.0
             carry, metrics = run_chunk(
                 params, carry, it_all[pos : pos + size], beta_all[pos : pos + size]
             )
+            if _timing:
+                jax.block_until_ready(carry)
+                print(f"[timing] chunk pos={pos} size={size}: {time.perf_counter()-t0:.3f}s")
+            if not observing:
+                deferred.append(metrics)
+                pos += size
+                continue
             mnp = jax.tree_util.tree_map(np.asarray, metrics)
             dual_obj_log.extend(mnp.dual_objective.tolist())
             step_size_log.extend(mnp.step_size.tolist())
             for k in range(size):
                 it = pos + 1 + k
+                per_iter_res = self._metrics_row_to_result(mnp, k, fields_present)
                 if self.iteration_callback is not None:
-                    self.iteration_callback(
-                        it,
-                        ObjectiveResult(
-                            dual_gradient=None,
-                            dual_objective=mnp.dual_objective[k],
-                        ),
-                    )
+                    self.iteration_callback(it, per_iter_res)
                 # Per-iteration MLflow metric contract (reference
-                # agd.py:190-201), fed from the chunked device logs — no
-                # per-iteration device sync.
+                # agd.py:190-201), fed from the chunked device logs.
                 if _mlflow_state.is_enabled():
                     iteration_metrics = {
                         "step_size": float(mnp.step_size[k]),
@@ -283,53 +345,90 @@ class AcceleratedGradientDescent:
                     if self.gamma is not None:
                         iteration_metrics["gamma"] = float(mnp.gamma[k])
                     log_metrics(iteration_metrics, step=it)
+                    log_objective_result(per_iter_res, step=it)
             pos += size
 
-        # ---- final iteration (eager, full result) ----
-        final_gamma = carry.gamma if self.gamma is not None else None
-        final_res = f.calculate(
-            dual_val=carry.x,
-            gamma=(float(np.asarray(carry.gamma)) if self.gamma is not None else None),
-            save_primal=self.save_primal,
-            rank=rank,
-        )
-        grad = jnp.asarray(final_res.dual_gradient)
-        step_size, ss_state = jax.jit(calculate_step_size, static_argnums=(3,))(
-            grad, carry.y, carry.ss_state, self.initial_step_size, carry.max_step_size
-        )
-        y_new = project_on_nn_cone(carry.x + grad * step_size, equality_mask)
-        beta_last = jnp.asarray(self.beta_seq[self.max_iter - 1])
-        x_new = y_new * (1.0 - beta_last) + carry.y * beta_last
-        del x_new  # parity: final returned dual is y (reference agd.py:212)
+        # One batched host transfer for everything the host needs; the
+        # gradient itself stays on device inside the ObjectiveResult.
+        t_drain = time.perf_counter() if (_timing or self.collect_stats) else 0.0
+        deferred_np, gamma_np = jax.device_get((deferred, carry.gamma))
+        for mnp in deferred_np:
+            dual_obj_log.extend(np.asarray(mnp.dual_objective).tolist())
+            step_size_log.extend(np.asarray(mnp.step_size).tolist())
+        if _timing:
+            print(f"[timing] drain: {time.perf_counter()-t_drain:.3f}s")
+        if self.collect_stats:
+            now = time.perf_counter()
+            self.last_run_stats = {
+                "total_s": now - t_start,
+                "iters": self.max_iter,
+                "drain_s": now - t_drain,
+            }
 
-        if self.iteration_callback is not None:
+        dual_obj = dual_obj_log[-1]
+
+        # Final-iteration ObjectiveResult assembled from the last scan step
+        # (reference returns the last calculate()'s result, agd.py:211-229).
+        if deferred_np:
+            last = jax.tree_util.tree_map(lambda a: np.asarray(a)[-1], deferred_np[-1])
+        else:
+            last = None
+        final_res = ObjectiveResult(
+            dual_gradient=carry.last_grad,
+            dual_objective=np.float32(dual_obj),
+            reg_penalty=(
+                np.float32(last.reg_penalty) if last is not None and fields_present.get("reg_penalty") else None
+            ),
+            dual_val_times_grad=(
+                np.float32(last.dual_val_times_grad)
+                if last is not None and fields_present.get("dual_val_times_grad")
+                else None
+            ),
+            max_pos_slack=(
+                np.float32(last.max_pos_slack) if last is not None and fields_present.get("max_pos_slack") else None
+            ),
+            sum_pos_slack=(
+                np.float32(last.sum_pos_slack) if last is not None and fields_present.get("sum_pos_slack") else None
+            ),
+        )
+        if self.save_primal:
+            # One extra evaluation at the final iteration's x (the reference
+            # honored save_primal only on the last iteration, agd.py:155-158).
+            full = f.calculate(
+                dual_val=carry.last_x,
+                gamma=(carry.gamma if self.gamma is not None else None),
+                save_primal=True,
+                rank=rank,
+            )
+            final_res = full
+
+        if self.iteration_callback is not None and not observing:
             self.iteration_callback(self.max_iter, final_res)
         if _mlflow_state.is_enabled():
-            log_metrics(
-                {"step_size": float(np.asarray(step_size)),
-                 "dual_objective": float(np.asarray(final_res.dual_objective)),
-                 **({"gamma": float(np.asarray(carry.gamma))} if self.gamma is not None else {})},
-                step=self.max_iter,
-            )
             log_objective_result(final_res, step=self.max_iter)
 
-        dual_obj = float(np.asarray(final_res.dual_objective))
-        dual_obj_log.append(dual_obj)
-        step_size_log.append(float(np.asarray(step_size)))
-
-        # Track γ decay applied on the final iteration for API completeness.
-        if self.gamma_decay_type == "step":
-            if self.max_iter % int(self.gamma_decay_params["decay_steps"]) == 0:
-                self.gamma = float(np.asarray(carry.gamma)) * float(self.gamma_decay_params["decay_factor"])
-            else:
-                self.gamma = float(np.asarray(carry.gamma))
-        elif self.gamma is not None:
-            self.gamma = float(np.asarray(carry.gamma))
+        # Track γ decay for API completeness (reference mutated self.gamma).
+        if self.gamma is not None:
+            self.gamma = float(gamma_np)
 
         return SolverResult(
-            dual_val=y_new,
-            dual_objective=dual_obj,
+            dual_val=carry.y,
+            dual_objective=float(dual_obj),
             objective_result=final_res,
             dual_objective_log=dual_obj_log,
             step_size_log=step_size_log,
+        )
+
+    @staticmethod
+    def _metrics_row_to_result(mnp, k: int, fields_present: dict) -> ObjectiveResult:
+        def get(name):
+            return np.float32(getattr(mnp, name)[k]) if fields_present.get(name) else None
+
+        return ObjectiveResult(
+            dual_gradient=None,
+            dual_objective=np.float32(mnp.dual_objective[k]),
+            reg_penalty=get("reg_penalty"),
+            dual_val_times_grad=get("dual_val_times_grad"),
+            max_pos_slack=get("max_pos_slack"),
+            sum_pos_slack=get("sum_pos_slack"),
         )

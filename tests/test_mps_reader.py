@@ -1,0 +1,134 @@
+"""MPS reader tests: crafted-file unit coverage plus the bundled MIPLIB 2017
+instance end-to-end (reference asserts dual ≈ 27±1,
+``examples/miplib_2017/solve_miplib_dataset.py:53-70``)."""
+
+import gzip
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dualip_tpu.io.mps import read_mps_file
+from dualip_tpu.sparse import csc_to_dense
+
+MPS_TEXT = """* comment line
+NAME          tiny
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  EQ1
+COLUMNS
+    X1        COST      1.0   LIM1      2.0
+    X1        LIM2      3.0
+    X2        COST      2.0   LIM1      1.0
+    X2        EQ1       1.0
+    X3        EQ1       -1.0  LIM2      1.0
+RHS
+    RHS       LIM1      4.0   LIM2      1.0
+    RHS       EQ1       7.0
+BOUNDS
+ UP BND       X1        4.0
+ LO BND       X2        -1.0
+ FR BND       X3
+ENDATA
+"""
+
+
+@pytest.fixture
+def tiny_mps(tmp_path):
+    p = tmp_path / "tiny.mps"
+    p.write_text(MPS_TEXT)
+    return str(p)
+
+
+def test_parse_structure(tiny_mps):
+    lp = read_mps_file(tiny_mps)
+    assert lp.name == "tiny"
+    assert lp.shape == (3, 3)
+    assert lp.col_names == ["X1", "X2", "X3"]
+    assert lp.row_names == ["LIM1", "LIM2", "EQ1"]
+    assert np.allclose(lp.c, [1.0, 2.0, 0.0])
+    # G row LIM2 negated into <= form: -3 X1 - 1 X3 <= -1
+    assert np.allclose(lp.b, [4.0, -1.0, 7.0])
+    assert lp.equality_mask.tolist() == [False, False, True]
+
+    dense = csc_to_dense(lp.to_csc())
+    expect = np.array(
+        [
+            [2.0, 1.0, 0.0],  # LIM1 (<=)
+            [-3.0, 0.0, -1.0],  # LIM2 (>= negated)
+            [0.0, 1.0, -1.0],  # EQ1
+        ],
+        dtype=np.float32,
+    )
+    assert np.allclose(dense, expect)
+
+
+def test_bounds_conventions(tiny_mps):
+    lp = read_mps_file(tiny_mps)
+    # X1: UP 4.0 with u >= 0 -> lower defaults to 0 (IBM convention)
+    assert lp.lower[0] == 0.0 and lp.upper[0] == 4.0
+    # X2: LO -1 only -> upper unbounded (NaN)
+    assert lp.lower[1] == -1.0 and math.isnan(lp.upper[1])
+    # X3: FR -> both NaN
+    assert math.isnan(lp.lower[2]) and math.isnan(lp.upper[2])
+
+
+def test_negative_upper_only_is_free_below(tmp_path):
+    text = MPS_TEXT.replace(" UP BND       X1        4.0", " UP BND       X1        -2.0")
+    p = tmp_path / "neg.mps"
+    p.write_text(text)
+    lp = read_mps_file(str(p))
+    assert math.isnan(lp.lower[0]) and lp.upper[0] == -2.0
+
+
+def test_projection_map_groups_by_bounds(tiny_mps):
+    lp = read_mps_file(tiny_mps)
+    pm = lp.build_projection_map()
+    covered = sorted(i for e in pm.values() for i in e.indices)
+    assert covered == [0, 1, 2]
+    # three distinct bound pairs -> three entries
+    assert len(pm) == 3
+
+
+def test_gzip_roundtrip(tmp_path):
+    p = tmp_path / "tiny.mps.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write(MPS_TEXT)
+    lp = read_mps_file(str(p))
+    assert lp.shape == (3, 3)
+
+
+def test_ranges_not_supported(tmp_path):
+    p = tmp_path / "r.mps"
+    p.write_text("NAME x\nROWS\n N obj\nRANGES\nENDATA\n")
+    with pytest.raises(NotImplementedError):
+        read_mps_file(str(p))
+
+
+BUNDLED = Path(__file__).resolve().parents[1] / "examples" / "miplib_2017" / "v150d30-2hopcds.mps.gz"
+
+
+@pytest.mark.skipif(not BUNDLED.exists(), reason="bundled MIPLIB instance missing")
+def test_v150d30_parses():
+    lp = read_mps_file(str(BUNDLED))
+    assert lp.shape == (7822, 150)
+    assert lp.to_csc().nnz == 103991
+    assert not lp.equality_mask.any()
+
+
+@pytest.mark.skipif(not BUNDLED.exists(), reason="bundled MIPLIB instance missing")
+def test_v150d30_dual_objective():
+    """Full 10k-iteration solve lands at ~27 (reference ±1 assertion)."""
+    import jax.numpy as jnp
+
+    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+
+    lp = read_mps_file(str(BUNDLED))
+    obj = MIPLIB2017ObjectiveFunction(lp.to_miplib_input_args())
+    solver = AcceleratedGradientDescent(max_iter=10000, gamma=1e-3, initial_step_size=1e-5)
+    res = solver.maximize(obj, jnp.zeros(lp.shape[0], jnp.float32))
+    assert abs(res.dual_objective - 27.0) < 1.0

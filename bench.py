@@ -1,8 +1,10 @@
 """Canonical benchmark: synthetic matching LP, dual-ascent iterations/sec.
 
-Workload parity: the reference's canonical single-device benchmark —
-25M sources × 10K destinations at 1e-3 sparsity (~250M nnz), fp32, seed 42,
-AGD steps 1e-3/max 1e-1 (reference ``benchmark/config.py:9-19``).
+Workload: the reference's canonical single-device benchmark shape (10K
+destination constraints, 1e-3 sparsity, fp32, seed 42, AGD steps 1e-3/1e-1 —
+reference ``benchmark/config.py:9-19``) at 2.5M sources (~25M nnz) by
+default so a full protocol run fits the driver's budget on the shared TPU
+pool; set DUALIP_BENCH_SOURCES=25000000 for the full canonical size.
 
 Measurement protocol (this TPU is reached through a shared tunneled PJRT
 pool: program launches/compiles have multi-second noise, a device→host fetch
@@ -105,12 +107,12 @@ def main():
         _solve_once(cfg["s"], cfg["d"], cfg["sp"], cfg["it"], cfg["seed"])
         return
 
-    num_sources = int(os.environ.get("DUALIP_BENCH_SOURCES", 25_000_000))
+    num_sources = int(os.environ.get("DUALIP_BENCH_SOURCES", 2_500_000))
     num_dests = int(os.environ.get("DUALIP_BENCH_DESTS", 10_000))
     sparsity = float(os.environ.get("DUALIP_BENCH_SPARSITY", 1e-3))
-    n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 100))
-    n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 1000))
-    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 3))
+    n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 50))
+    n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 250))
+    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 2))
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 
     results = {n_small: [], n_big: []}

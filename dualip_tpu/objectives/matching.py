@@ -67,6 +67,60 @@ def calc_grad(dual_grad: Array, dual_obj: Array, dual_val: Array, b_vec: Array, 
     return dual_grad, dual_obj
 
 
+def transpose_tiles(bcsc: BlockCSC) -> BlockCSC:
+    """Re-layout tiles to (L, K) for the Pallas fused path (lanes carry the
+    large entity axis; see ``dualip_tpu/ops/pallas_matching.py``)."""
+    from dualip_tpu.sparse.bcsc import Tile
+
+    tiles_T = [
+        Tile(
+            rows=jnp.asarray(np.asarray(t.rows).T.copy()),
+            a=jnp.asarray(np.asarray(t.a).T.copy()),
+            c=jnp.asarray(np.asarray(t.c).T.copy()),
+            length=jnp.asarray(np.asarray(t.length)),
+            col_ids=jnp.asarray(np.asarray(t.col_ids)),
+        )
+        for t in bcsc.tiles
+    ]
+    return BlockCSC(tiles=tiles_T, specs=bcsc.specs, m=bcsc.m, n=bcsc.n, nnz=bcsc.nnz)
+
+
+def matching_local_parts_pallas(
+    bcsc_T: BlockCSC, dual_val: Array, gamma, block_k: int, interpret: bool = False
+) -> Tuple[Array, Array, Array]:
+    """Pallas-fused shard-local parts over (L, K)-transposed tiles."""
+    from dualip_tpu.ops.pallas_matching import fused_tile_eval_T
+
+    dtype = dual_val.dtype
+    neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
+    scaled = neg_inv_gamma * dual_val
+
+    grad = jnp.zeros(bcsc_T.m, dtype=dtype)
+    dual_obj = jnp.zeros((), dtype=dtype)
+    reg_sum = jnp.zeros((), dtype=dtype)
+    for tile, spec in zip(bcsc_T.tiles, bcsc_T.specs):
+        kind = spec.proj_type
+        lam_g = scaled[tile.rows]  # XLA gather; Mosaic has no table gather
+        ax, obj_p, reg_p = fused_tile_eval_T(
+            lam_g,
+            tile.a,
+            tile.c,
+            tile.length,
+            neg_inv_gamma,
+            kind,
+            spec.proj_params,
+            block_k=min(block_k, tile.a.shape[1]),
+            interpret=interpret,
+        )
+        grad = grad + jax.ops.segment_sum(
+            ax.reshape(-1), tile.rows.reshape(-1).astype(jnp.int32), num_segments=bcsc_T.m
+        )
+        dual_obj = dual_obj + obj_p.astype(dtype)
+        reg_sum = reg_sum + reg_p.astype(dtype)
+    reg = (jnp.asarray(gamma, dtype) / 2) * reg_sum
+    return grad, dual_obj, reg
+
+
 def matching_local_parts(
     bcsc: BlockCSC, dual_val: Array, gamma, want_primal: bool = False
 ) -> Tuple[Array, Array, Array, List[Array]]:
@@ -137,6 +191,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         mesh=None,
         keep_flat_idx: bool = True,
         dtype=np.float32,
+        use_pallas: bool = False,
+        pallas_block_k: int = 1024,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -145,6 +201,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             jnp.asarray(args.equality_mask) if args.equality_mask is not None else None
         )
         self.mesh = mesh
+        self.use_pallas = use_pallas
+        self.pallas_block_k = pallas_block_k
 
         pad = 1
         sharding = None
@@ -155,6 +213,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             pad = int(np.prod(mesh.devices.shape))
             # Tiles shard along K (axis 0 of (K, L) arrays, axis 0 of (K,) arrays).
             sharding = NamedSharding(mesh, PartitionSpec(axis))
+        if use_pallas:
+            # fused-kernel grid needs the (per-shard) entity count to divide block_k
+            pad = pad * pallas_block_k
 
         self.bcsc = build_blockcsc(
             args.A,
@@ -165,6 +226,13 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             keep_flat_idx=keep_flat_idx,
             dtype=dtype,
         )
+        if use_pallas:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "use_pallas with a mesh is not wired up yet; the kernel path "
+                    "currently targets single-chip shards"
+                )
+            self.bcsc = transpose_tiles(self.bcsc)
         self.bcsc = device_put_blockcsc(self.bcsc, sharding)
         self._jit_cache = {}
         if args.b_vec is not None:
@@ -184,7 +252,18 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
     def calculate_traceable(self, params, dual_val: Array, gamma) -> ObjectiveResult:
         bcsc, b_vec = params
         g = self.gamma if gamma is None else gamma
-        grad, dual_obj, reg, _ = matching_local_parts(bcsc, dual_val, g)
+        if self.use_pallas:
+            import jax as _jax
+
+            grad, dual_obj, reg = matching_local_parts_pallas(
+                bcsc,
+                dual_val,
+                g,
+                self.pallas_block_k,
+                interpret=_jax.default_backend() != "tpu",
+            )
+        else:
+            grad, dual_obj, reg, _ = matching_local_parts(bcsc, dual_val, g)
         if b_vec is not None:
             return _finalize(grad, dual_obj, reg, dual_val, b_vec)
         return ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)
@@ -203,6 +282,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             g = jnp.asarray(np.float32(g))  # host scalar, no device round-trip
         dual_val = jnp.asarray(dual_val)
 
+        if save_primal and self.use_pallas:
+            raise NotImplementedError(
+                "save_primal with use_pallas=True is not supported; build the "
+                "objective with use_pallas=False for primal extraction"
+            )
         if not save_primal:
             fn = self._jit_cache.get("calc")
             if fn is None:

@@ -8,3 +8,4 @@ from dualip_tpu.utils.mlflow_utils import (  # noqa: F401
     log_objective_result,
     mlflow_run_context,
 )
+from dualip_tpu.utils.profiling import PhaseTimer, annotate, trace  # noqa: F401

@@ -43,6 +43,12 @@ sys.path.insert(0, str(HERE / "benchmark"))
 
 def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     """Run one solve; print JSON info to stdout. Executed in a subprocess."""
+    platform = os.environ.get("DUALIP_BENCH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     import jax.numpy as jnp
 
     from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction

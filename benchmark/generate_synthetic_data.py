@@ -154,18 +154,32 @@ def generate_synthetic_matching_input_args(
     del device
     cache_dir = cache_dir or _DEFAULT_CACHE_DIR
     use_cache = seed is not None and rng is None
+    backend = os.environ.get("DUALIP_GEN_BACKEND", "numpy")
 
     arrays = None
     if use_cache:
-        path = _cache_path(cache_dir, num_sources, num_destinations, target_sparsity, dtype, seed)
+        path = _cache_path(
+            cache_dir, num_sources, num_destinations, target_sparsity, dtype, (seed, backend)
+        )
         if path.exists():
             with np.load(path) as data:
                 arrays = tuple(data[k] for k in ("ccol", "rows", "a", "c", "b"))
 
     if arrays is None:
-        if rng is None and seed is not None:
-            rng = np.random.default_rng(seed)
-        arrays = _generate_matching_numpy(num_sources, num_destinations, target_sparsity, rng)
+        if backend == "native" and rng is None:
+            # C++ data-plane: O(E) counting-sort assembly, multithreaded
+            # (same generative model, different RNG stream than numpy).
+            from dualip_tpu.io.native_loader import generate_matching_native
+
+            out = generate_matching_native(
+                num_sources, num_destinations, target_sparsity, seed=seed or 0
+            )
+            if out is not None:
+                arrays = out
+        if arrays is None:
+            if rng is None and seed is not None:
+                rng = np.random.default_rng(seed)
+            arrays = _generate_matching_numpy(num_sources, num_destinations, target_sparsity, rng)
         if use_cache:
             path.parent.mkdir(parents=True, exist_ok=True)
             ccol, rows, a, c, b = arrays

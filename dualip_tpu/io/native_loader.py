@@ -1,0 +1,168 @@
+"""ctypes bindings for the native C++ data-plane (``native/dualip_native.cc``).
+
+Builds the shared library on demand with the system toolchain (g++) and caches
+it under ``native/build/``.  Every entry point has a pure-numpy fallback, so
+the package works without a compiler; the native path exists for extreme-scale
+ingestion (O(E) counting-sort CSC assembly, parallel tile filling).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_BUILD_DIR = _NATIVE_DIR / "build"
+_SRC = _NATIVE_DIR / "dualip_native.cc"
+_SO = _BUILD_DIR / "libdualip_native.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> bool:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-fPIC",
+        "-shared",
+        "-std=c++17",
+        "-pthread",
+        str(_SRC),
+        "-o",
+        str(_SO),
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if out.returncode != 0:
+            print(f"dualip native build failed:\n{out.stderr[-1000:]}")
+            return False
+        return True
+    except (OSError, subprocess.TimeoutExpired) as e:  # no compiler etc.
+        print(f"dualip native build unavailable: {e}")
+        return False
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("DUALIP_DISABLE_NATIVE") == "1":
+            return None
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _SRC.exists() or not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e:
+            print(f"dualip native load failed: {e}")
+            return None
+
+        lib.dualip_gen_create.restype = ctypes.c_void_p
+        lib.dualip_gen_create.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.dualip_gen_nnz.restype = ctypes.c_int64
+        lib.dualip_gen_nnz.argtypes = [ctypes.c_void_p]
+        lib.dualip_gen_export.restype = None
+        lib.dualip_gen_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+        lib.dualip_gen_free.argtypes = [ctypes.c_void_p]
+        lib.dualip_fill_tile.restype = None
+        lib.dualip_fill_tile.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 6 + [ctypes.c_int]
+        if lib.dualip_native_abi_version() != 1:
+            return None
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_native() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def generate_matching_native(
+    num_sources: int,
+    num_destinations: int,
+    target_sparsity: float,
+    seed: int,
+    threads: int = 0,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """(indptr, rows, a, c, b) from the native generator, or None.
+
+    Same generative model as the numpy generator; a different (deterministic)
+    RNG stream, so values differ from the numpy path at equal seeds.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    h = lib.dualip_gen_create(num_sources, num_destinations, target_sparsity, seed, threads)
+    try:
+        nnz = lib.dualip_gen_nnz(h)
+        indptr = np.empty(num_sources + 1, dtype=np.int64)
+        rows = np.empty(nnz, dtype=np.int32)
+        a = np.empty(nnz, dtype=np.float64)
+        c = np.empty(nnz, dtype=np.float64)
+        b = np.empty(num_destinations, dtype=np.float64)
+        lib.dualip_gen_export(h, _ptr(indptr), _ptr(rows), _ptr(a), _ptr(c), _ptr(b))
+    finally:
+        lib.dualip_gen_free(h)
+    return indptr, rows, a, c, b
+
+
+def fill_tile_native(
+    indptr: np.ndarray,
+    row_indices: np.ndarray,
+    a_data: np.ndarray,
+    c_data: np.ndarray,
+    cols: np.ndarray,
+    K: int,
+    L: int,
+    keep_flat_idx: bool,
+    threads: int = 0,
+):
+    """Fill (K, L) tile buffers natively; returns None if unavailable.
+
+    Output dtypes match the BlockCSC builder: rows i32, a/c f32, length i32,
+    col_ids i32, flat_idx i64 (or None).
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    row_indices = np.ascontiguousarray(row_indices, dtype=np.int32)
+    a_data = np.ascontiguousarray(a_data, dtype=np.float32)
+    c_data = np.ascontiguousarray(c_data, dtype=np.float32)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+
+    rows_out = np.zeros((K, L), dtype=np.int32)
+    a_out = np.zeros((K, L), dtype=np.float32)
+    c_out = np.zeros((K, L), dtype=np.float32)
+    length = np.zeros(K, dtype=np.int32)
+    col_ids = np.full(K, -1, dtype=np.int32)
+    flat_idx = np.full((K, L), -1, dtype=np.int64) if keep_flat_idx else None
+
+    lib.dualip_fill_tile(
+        _ptr(indptr), _ptr(row_indices), _ptr(a_data), _ptr(c_data),
+        _ptr(cols), len(cols), L,
+        _ptr(rows_out), _ptr(a_out), _ptr(c_out),
+        _ptr(length), _ptr(col_ids),
+        _ptr(flat_idx) if flat_idx is not None else None,
+        threads,
+    )
+    return rows_out, a_out, c_out, length, col_ids, flat_idx

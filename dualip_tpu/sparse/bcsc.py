@@ -126,6 +126,29 @@ def _build_tile(
     K = -(-K_valid // pad_cols_to) * pad_cols_to
     L = int(lens.max())
 
+    # Native parallel fill when the C++ data-plane is available (identical
+    # output to the numpy path below; see native/dualip_native.cc).
+    if K_valid * L >= 1 << 20:
+        from dualip_tpu.io.native_loader import fill_tile_native
+
+        native = fill_tile_native(
+            A.indptr, A.row_indices, A.data, C.data, cols, K, L, keep_flat_idx
+        )
+        if native is not None:
+            rows, a, c, length, col_ids, flat_idx = native
+            spec = TileSpec(
+                entry_key=entry_key,
+                proj_type=proj_type,
+                proj_params=tuple(sorted(proj_params.items())),
+                K=K,
+                L=L,
+                flat_idx=flat_idx,
+            )
+            return (
+                Tile(rows=rows, a=a.astype(dtype), c=c.astype(dtype), length=length, col_ids=col_ids),
+                spec,
+            )
+
     starts = A.indptr[cols]
     total = int(lens.sum())
     cols_rep = np.repeat(np.arange(K_valid), lens)

@@ -1,0 +1,93 @@
+"""Native C++ data-plane tests: builds the library and checks exact
+equivalence of the tile filler with the numpy path, plus generator sanity."""
+
+import numpy as np
+import pytest
+
+from dualip_tpu.io.native_loader import (
+    fill_tile_native,
+    generate_matching_native,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+
+
+def test_fill_tile_matches_numpy_builder():
+    from dualip_tpu.projections import create_projection_map
+    from dualip_tpu.sparse import build_blockcsc, csc_from_dense
+
+    rng = np.random.default_rng(0)
+    dense = np.abs(rng.normal(size=(30, 200))).astype(np.float32)
+    dense[rng.random(dense.shape) < 0.6] = 0
+    dense[0] = np.where(dense[0] == 0, 0.5, dense[0])
+    A = csc_from_dense(dense)
+    C = csc_from_dense(np.where(dense != 0, -dense, 0).astype(np.float32))
+
+    pm = create_projection_map("simplex", {"z": 1.0}, 200)
+    bcsc = build_blockcsc(A, C, pm)  # numpy path (small tiles)
+
+    for tile, spec in zip(bcsc.tiles, bcsc.specs):
+        cols = np.asarray(tile.col_ids)
+        cols = cols[cols >= 0].astype(np.int64)
+        native = fill_tile_native(
+            A.indptr, A.row_indices, A.data, C.data, cols, spec.K, spec.L, keep_flat_idx=True
+        )
+        rows_n, a_n, c_n, len_n, ids_n, flat_n = native
+        assert np.array_equal(rows_n, np.asarray(tile.rows))
+        assert np.allclose(a_n, np.asarray(tile.a))
+        assert np.allclose(c_n, np.asarray(tile.c))
+        assert np.array_equal(len_n, np.asarray(tile.length))
+        assert np.array_equal(ids_n, np.asarray(tile.col_ids))
+        assert np.array_equal(flat_n, spec.flat_idx)
+
+
+def test_native_generator_produces_valid_lp():
+    from dualip_tpu.preprocessing import check_correct_csc_construction
+    from dualip_tpu.sparse import csc_from_arrays
+
+    ns, nd = 2000, 100
+    out = generate_matching_native(ns, nd, 0.05, seed=11)
+    assert out is not None
+    indptr, rows, a, c, b = out
+    nnz = indptr[-1]
+    assert nnz > 0 and len(rows) == nnz
+    A = csc_from_arrays(indptr, rows, a.astype(np.float32), (nd, ns))
+    check_correct_csc_construction(A._replace(data=np.where(A.data == 0, 1e-9, A.data)))
+    # model invariants: a = s_j * c with c in (0, 0.5]; b positive
+    assert (c > 0).all() and (c <= 0.5).all()
+    assert (a > 0).all()
+    assert (b > 0).all()
+    # deterministic
+    out2 = generate_matching_native(ns, nd, 0.05, seed=11)
+    assert np.array_equal(out2[0], indptr) and np.allclose(out2[2], a)
+    # different seed differs
+    out3 = generate_matching_native(ns, nd, 0.05, seed=12)
+    assert not (len(out3[1]) == nnz and np.allclose(out3[2], a))
+
+
+def test_native_generator_solves():
+    """End-to-end: native-generated LP through the solver."""
+    import jax.numpy as jnp
+
+    from dualip_tpu.objectives.matching import (
+        MatchingInputArgs,
+        MatchingSolverDualObjectiveFunction,
+    )
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from dualip_tpu.projections import create_projection_map
+    from dualip_tpu.sparse import csc_from_arrays
+
+    ns, nd = 1000, 50
+    indptr, rows, a, c, b = generate_matching_native(ns, nd, 0.1, seed=5)
+    A = csc_from_arrays(indptr, rows, a.astype(np.float32), (nd, ns))
+    C = csc_from_arrays(indptr, rows, (-c).astype(np.float32), (nd, ns))
+    args = MatchingInputArgs(
+        A=A, c=C, projection_map=create_projection_map("simplex", {"z": 1.0}, ns),
+        b_vec=b.astype(np.float32),
+    )
+    obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    res = AcceleratedGradientDescent(max_iter=20, gamma=1e-3).maximize(
+        obj, jnp.zeros(nd, jnp.float32)
+    )
+    assert np.isfinite(res.dual_objective)

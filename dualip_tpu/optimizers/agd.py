@@ -255,12 +255,22 @@ class AcceleratedGradientDescent:
         return step
 
     # ------------------------------------------------------------------
-    def maximize(self, f, initial_value: Array, rank: int = 0) -> SolverResult:
+    def maximize(
+        self,
+        f,
+        initial_value: Array,
+        rank: int = 0,
+        initial_step_size_state: Optional[StepSizeState] = None,
+    ) -> SolverResult:
         """Run ``max_iter`` ascent iterations (no early stopping, reference
         ``agd.py:150-208``).  ``f`` must expose ``equality_mask``, ``params``
         (a pytree, may be ``()``), and a pure ``calculate_traceable(params,
         dual_val, gamma) -> ObjectiveResult``.  ``rank`` is accepted for API
         parity; SPMD replicates the update on every process.
+
+        ``initial_step_size_state`` (e.g. from ``checkpoint.load_dual``)
+        resumes the Lipschitz window so a warm-started solve re-enters the
+        secant step-size regime immediately.
         """
         _timing = os.environ.get("DUALIP_TIMING") == "1"
         t_start = time.perf_counter()
@@ -274,10 +284,15 @@ class AcceleratedGradientDescent:
         params = getattr(f, "params", ())
 
         gamma0 = jnp.asarray(self.gamma if self.gamma is not None else jnp.nan, dtype=jnp.float32)
+        ss0 = (
+            initial_step_size_state
+            if initial_step_size_state is not None
+            else init_step_size_state(m, self.history_length, dtype)
+        )
         carry = _Carry(
             x=x0,
             y=x0,
-            ss_state=init_step_size_state(m, self.history_length, dtype),
+            ss_state=ss0,
             gamma=gamma0,
             max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
             last_grad=jnp.zeros(m, dtype=dtype),

@@ -105,14 +105,16 @@ def run_solver(
             save_primal=solver_args.save_primal,
         )
 
-        # Warm start (reference run_solver.py:127-132).
+        # Warm start (reference run_solver.py:127-132) + optional step-size
+        # window carry from the checkpoint.
+        ss_state = None
         if solver_args.initial_dual_path is not None:
-            dual0, _ = load_dual(solver_args.initial_dual_path)
+            dual0, ss_state = load_dual(solver_args.initial_dual_path)
             initial_dual = jnp.asarray(dual0)
         else:
             initial_dual = jnp.zeros_like(jnp.asarray(np.asarray(input_args.b_vec, dtype=np.float32)))
 
-        solver_result = solver.maximize(objective, initial_dual)
+        solver_result = solver.maximize(objective, initial_dual, initial_step_size_state=ss_state)
 
         # Post-solve Jacobi inversion (reference run_solver.py:136-144 —
         # fixed: invert_jacobi_precondition exists, miplib.py here).

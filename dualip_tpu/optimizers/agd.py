@@ -417,8 +417,6 @@ class AcceleratedGradientDescent:
             )
             final_res = full
 
-        if self.iteration_callback is not None and not observing:
-            self.iteration_callback(self.max_iter, final_res)
         if _mlflow_state.is_enabled():
             log_objective_result(final_res, step=self.max_iter)
 

@@ -46,9 +46,8 @@ def csc_from_dense(dense: np.ndarray, dtype=np.float32) -> CSCMatrix:
     (same convention as ``torch.Tensor.to_sparse_csc``)."""
     dense = np.asarray(dense)
     m, n = dense.shape
-    rows_list, data_list, counts = [], [], np.zeros(n, dtype=np.int64)
-    nz_r, nz_c = np.nonzero(dense.T)  # iterate column-major
-    # nz_r here is the column index (because of the transpose), nz_c the row.
+    nz_r, nz_c = np.nonzero(dense.T)  # column-major iteration:
+    # nz_r is the column index (because of the transpose), nz_c the row.
     counts = np.bincount(nz_r, minlength=n)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])

@@ -218,6 +218,24 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
                 upper[idx] = up
         return lower, upper
 
+    def convergence_stop_condition(self, tol: float, gamma: float):
+        """A ``stop_condition`` callable for ``AcceleratedGradientDescent``:
+        certifies the current dual with the PDLP test, recovering the primal
+        from the γ-regularized subproblem at the current dual (the
+        reduced-cost recovery ``where(r>=0, l, u)`` is degenerate once
+        ``r → 0``, which is why the reference's own tests always passed an
+        explicit x, ``test_miplib_objective.py:126-130``)."""
+
+        def stop(iteration: int, dual_val: Array) -> bool:
+            del iteration
+            res = self.calculate(dual_val, gamma=gamma, save_primal=True)
+            *_, converged = self.calculate_convergence_bound(
+                dual_val, x=res.primal_var, tol=tol
+            )
+            return converged
+
+        return stop
+
     @staticmethod
     def _clamp_x_bound_duals(x_bound_duals: Array, l_mask_exists: Array, u_mask_exists: Array) -> Array:
         """Project bound-duals onto Λ (reference ``miplib.py:123-154``):

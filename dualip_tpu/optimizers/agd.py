@@ -164,6 +164,8 @@ class AcceleratedGradientDescent:
         history_length: int = DEFAULT_HISTORY_LENGTH,
         callback_chunk: int = 1,
         verbose: bool = False,
+        stop_condition: Optional[Callable[[int, Array], bool]] = None,
+        stop_check_every: int = 0,
     ):
         if gamma_decay_type not in (None, "step"):
             raise ValueError(f"Unsupported gamma decay type: {gamma_decay_type}")
@@ -181,6 +183,16 @@ class AcceleratedGradientDescent:
         self.iteration_callback = iteration_callback
         if iteration_callback is None and verbose:
             self.iteration_callback = self._default_iteration_callback
+        # Optional early stopping — an extension over the reference, which
+        # always ran max_iter iterations (reference agd.py:150, SURVEY §5):
+        # every `stop_check_every` iterations, `stop_condition(iteration,
+        # dual_val)` is evaluated host-side (e.g. the PDLP certificate,
+        # MIPLIB2017ObjectiveFunction.calculate_convergence_bound); returning
+        # True ends the solve. Off by default — golden traces are unaffected.
+        self.stop_condition = stop_condition
+        self.stop_check_every = int(stop_check_every)
+        if stop_condition is not None and self.stop_check_every <= 0:
+            self.stop_check_every = 100
         # Compiled chunk-runner cache keyed per objective identity; also holds
         # which ObjectiveResult fields the objective produces (trace-time).
         self._jit_cache = {}
@@ -320,6 +332,8 @@ class AcceleratedGradientDescent:
 
         observing = self.iteration_callback is not None or _mlflow_state.is_enabled()
         chunk = self.callback_chunk if observing else self.max_iter
+        if self.stop_condition is not None:
+            chunk = min(chunk, self.stop_check_every)
 
         dual_obj_log: List[float] = []
         step_size_log: List[float] = []
@@ -341,6 +355,8 @@ class AcceleratedGradientDescent:
             if not observing:
                 deferred.append(metrics)
                 pos += size
+                if self.stop_condition is not None and self.stop_condition(pos, carry.y):
+                    break
                 continue
             mnp = jax.tree_util.tree_map(np.asarray, metrics)
             dual_obj_log.extend(mnp.dual_objective.tolist())
@@ -362,6 +378,8 @@ class AcceleratedGradientDescent:
                     log_metrics(iteration_metrics, step=it)
                     log_objective_result(per_iter_res, step=it)
             pos += size
+            if self.stop_condition is not None and self.stop_condition(pos, carry.y):
+                break
 
         # One batched host transfer for everything the host needs; the
         # gradient itself stays on device inside the ObjectiveResult.

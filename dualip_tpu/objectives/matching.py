@@ -23,7 +23,7 @@ without the rank-0 asymmetry, the barrier, or the two broadcasts.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

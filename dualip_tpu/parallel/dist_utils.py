@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 from dualip_tpu.projections.base import ProjectionEntry
 from dualip_tpu.sparse.csc import CSCMatrix, split_csc_by_cols
 

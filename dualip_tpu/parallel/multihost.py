@@ -16,7 +16,7 @@ replicated; the per-iteration all-reduce rides ICI/DCN transparently.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
@@ -24,8 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from dualip_tpu.objectives.matching import MatchingInputArgs
 from dualip_tpu.parallel.dist_utils import global_to_local_projection_map, split_tensors_to_devices
-from dualip_tpu.sparse.bcsc import BlockCSC, Tile, build_blockcsc
-from dualip_tpu.sparse.csc import CSCMatrix
+from dualip_tpu.sparse.bcsc import BlockCSC, Tile
 
 
 def process_shard_bounds(num_cols: int, process_index: Optional[int] = None, process_count: Optional[int] = None) -> Tuple[int, int]:

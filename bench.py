@@ -94,18 +94,23 @@ def _run_child(num_sources, num_dests, sparsity, iters, seed):
     env["DUALIP_BENCH_CHILD"] = json.dumps(
         {"s": num_sources, "d": num_dests, "sp": sparsity, "it": iters, "seed": seed}
     )
-    out = subprocess.run(
-        [sys.executable, str(Path(__file__).resolve())],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000)),
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# child iters={iters} timed out", file=sys.stderr)
+        return None
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"child failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+    print(f"# child failed: {out.stdout[-500:]} {out.stderr[-500:]}", file=sys.stderr)
+    return None
 
 
 def main():
@@ -138,6 +143,8 @@ def main():
                 print("# budget reached; using completed runs", file=sys.stderr)
                 break
             r = _run_child(num_sources, num_dests, sparsity, n, seed)
+            if r is None:
+                continue
             results[n].append(r["solve_s"])
             info = r
             print(
@@ -149,11 +156,18 @@ def main():
             continue
         break
 
-    t_small = min(results[n_small])
-    t_big = min(results[n_big])
-    per_iter = (t_big - t_small) / (n_big - n_small)
-    if per_iter <= 0:
-        per_iter = t_big / n_big  # noise floor: fall back to raw rate
+    if not results[n_small] and not results[n_big]:
+        raise RuntimeError("no benchmark child completed")
+    if results[n_small] and results[n_big]:
+        t_small = min(results[n_small])
+        t_big = min(results[n_big])
+        per_iter = (t_big - t_small) / (n_big - n_small)
+        if per_iter <= 0:
+            per_iter = t_big / n_big  # noise floor: fall back to raw rate
+    else:  # degraded: single point, raw rate incl. constant overheads
+        n_only = n_small if results[n_small] else n_big
+        t_small = t_big = min(results[n_only])
+        per_iter = t_big / n_only
     ips = 1.0 / per_iter
 
     baseline = None

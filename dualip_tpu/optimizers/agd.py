@@ -313,7 +313,9 @@ class AcceleratedGradientDescent:
         beta_all = jnp.asarray(self.beta_seq)
         it_all = jnp.arange(1, self.max_iter + 1, dtype=jnp.int32)
 
-        cache_key = (id(f), bool(equality_mask is not None), str(dtype))
+        # Key on the objective object itself (identity hash): holding the
+        # reference prevents id() reuse from aliasing a stale executable.
+        cache_key = (f, bool(equality_mask is not None), str(dtype))
         cached = self._jit_cache.get(cache_key)
         if cached is None:
             fields_present: dict = {}

@@ -31,6 +31,7 @@ TPU-native design (SURVEY.md §7.1):
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import time
@@ -321,6 +322,9 @@ class AcceleratedGradientDescent:
             fields_present: dict = {}
             step = self._make_step(f, equality_mask, dtype, fields_present)
 
+            # NOTE: carry donation was tried and reverted — the initial carry
+            # aliases the caller's initial_value (x == y == last_x), which
+            # donation both rejects (double-donate) and would invalidate.
             @jax.jit
             def run_chunk(params, carry, it_chunk, beta_chunk):
                 def body(c, inp):

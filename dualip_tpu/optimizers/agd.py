@@ -344,9 +344,7 @@ class AcceleratedGradientDescent:
         dual_obj_log: List[float] = []
         step_size_log: List[float] = []
         deferred: List[_Metrics] = []
-
-        t_first_chunk = None
-        steady_iters = 0
+        last_observed_row = None  # last fetched metrics row (observing mode)
 
         pos = 0
         while pos < self.max_iter:
@@ -365,6 +363,7 @@ class AcceleratedGradientDescent:
                     break
                 continue
             mnp = jax.tree_util.tree_map(np.asarray, metrics)
+            last_observed_row = jax.tree_util.tree_map(lambda a: a[-1], mnp)
             dual_obj_log.extend(mnp.dual_objective.tolist())
             step_size_log.extend(mnp.step_size.tolist())
             for k in range(size):
@@ -411,7 +410,7 @@ class AcceleratedGradientDescent:
         if deferred_np:
             last = jax.tree_util.tree_map(lambda a: np.asarray(a)[-1], deferred_np[-1])
         else:
-            last = None
+            last = last_observed_row
         final_res = ObjectiveResult(
             dual_gradient=carry.last_grad,
             dual_objective=np.float32(dual_obj),

@@ -170,3 +170,21 @@ def test_check_projection_map_not_implemented():
 
     with pytest.raises(NotImplementedError):
         check_projection_map()
+
+
+def test_collect_stats_populates_last_run_stats():
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from dualip_tpu.types import ObjectiveResult
+
+    class Obj:
+        equality_mask = None
+
+        def calculate(self, dual_val, save_primal=False, **kw):
+            return ObjectiveResult(dual_gradient=-dual_val, dual_objective=-jnp.sum(dual_val**2))
+
+    solver = AcceleratedGradientDescent(max_iter=8, gamma=None)
+    solver.collect_stats = True
+    solver.maximize(Obj(), jnp.ones(3, jnp.float32))
+    stats = solver.last_run_stats
+    assert stats is not None and stats["iters"] == 8
+    assert stats["total_s"] > 0 and stats["drain_s"] >= 0

@@ -85,6 +85,29 @@ def transpose_tiles(bcsc: BlockCSC) -> BlockCSC:
     return BlockCSC(tiles=tiles_T, specs=bcsc.specs, m=bcsc.m, n=bcsc.n, nnz=bcsc.nnz)
 
 
+def device_put_blockcsc_T(bcsc_T: BlockCSC, mesh) -> BlockCSC:
+    """Device-put (L, K)-transposed tiles sharded along K (axis 1 of the 2-D
+    arrays, axis 0 of the per-column vectors) over a 1-D mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from dualip_tpu.sparse.bcsc import Tile
+
+    axis = mesh.axis_names[0]
+    s2d = NamedSharding(mesh, PartitionSpec(None, axis))
+    s1d = NamedSharding(mesh, PartitionSpec(axis))
+    tiles = [
+        Tile(
+            rows=jax.device_put(t.rows, s2d),
+            a=jax.device_put(t.a, s2d),
+            c=jax.device_put(t.c, s2d),
+            length=jax.device_put(t.length, s1d),
+            col_ids=jax.device_put(t.col_ids, s1d),
+        )
+        for t in bcsc_T.tiles
+    ]
+    return BlockCSC(tiles=tiles, specs=bcsc_T.specs, m=bcsc_T.m, n=bcsc_T.n, nnz=bcsc_T.nnz)
+
+
 def matching_local_parts_pallas(
     bcsc_T: BlockCSC, dual_val: Array, gamma, block_k: int, interpret: bool = False
 ) -> Tuple[Array, Array, Array]:
@@ -227,13 +250,13 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             dtype=dtype,
         )
         if use_pallas:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "use_pallas with a mesh is not wired up yet; the kernel path "
-                    "currently targets single-chip shards"
-                )
             self.bcsc = transpose_tiles(self.bcsc)
-        self.bcsc = device_put_blockcsc(self.bcsc, sharding)
+            if mesh is not None:
+                self.bcsc = device_put_blockcsc_T(self.bcsc, mesh)
+            else:
+                self.bcsc = device_put_blockcsc(self.bcsc, None)
+        else:
+            self.bcsc = device_put_blockcsc(self.bcsc, sharding)
         self._jit_cache = {}
         if args.b_vec is not None:
             b = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
@@ -253,15 +276,55 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         bcsc, b_vec = params
         g = self.gamma if gamma is None else gamma
         if self.use_pallas:
-            import jax as _jax
+            interpret = jax.default_backend() != "tpu"
+            if self.mesh is not None:
+                # SPMD fused path: pallas_call is not auto-partitionable, so
+                # the per-shard evaluation runs under shard_map with the same
+                # single psum of (grad, obj, reg) XLA would insert for the jnp
+                # path (reference §2.2's reduce+barrier+broadcast collapsed
+                # into one all-reduce).
+                from jax.sharding import PartitionSpec as P
 
-            grad, dual_obj, reg = matching_local_parts_pallas(
-                bcsc,
-                dual_val,
-                g,
-                self.pallas_block_k,
-                interpret=_jax.default_backend() != "tpu",
-            )
+                from dualip_tpu.sparse.bcsc import Tile
+
+                axis = self.mesh.axis_names[0]
+                tile_specs = [
+                    Tile(
+                        rows=P(None, axis),
+                        a=P(None, axis),
+                        c=P(None, axis),
+                        length=P(axis),
+                        col_ids=P(axis),
+                    )
+                    for _ in bcsc.tiles
+                ]
+                specs, m, n, nnz = bcsc.specs, bcsc.m, bcsc.n, bcsc.nnz
+                block_k = self.pallas_block_k
+
+                def local_parts(tiles, dv, gg):
+                    local = BlockCSC(tiles=list(tiles), specs=specs, m=m, n=n, nnz=nnz)
+                    lgrad, lobj, lreg = matching_local_parts_pallas(
+                        local, dv, gg, block_k, interpret=interpret
+                    )
+                    return (
+                        jax.lax.psum(lgrad, axis),
+                        jax.lax.psum(lobj, axis),
+                        jax.lax.psum(lreg, axis),
+                    )
+
+                grad, dual_obj, reg = jax.shard_map(
+                    local_parts,
+                    mesh=self.mesh,
+                    in_specs=(tile_specs, P(), P()),
+                    out_specs=(P(), P(), P()),
+                    # pallas_call out_shapes carry no vma annotation; skip the
+                    # varying-across-mesh check (outputs are psum-replicated).
+                    check_vma=False,
+                )(bcsc.tiles, dual_val, jnp.asarray(g, dual_val.dtype))
+            else:
+                grad, dual_obj, reg = matching_local_parts_pallas(
+                    bcsc, dual_val, g, self.pallas_block_k, interpret=interpret
+                )
         else:
             grad, dual_obj, reg, _ = matching_local_parts(bcsc, dual_val, g)
         if b_vec is not None:
@@ -337,6 +400,8 @@ class MatchingSolverDualObjectiveFunctionDistributed(MatchingSolverDualObjective
         host_device=None,
         batching: bool = True,
         mesh=None,
+        use_pallas: bool = False,
+        pallas_block_k: int = 1024,
     ):
         del host_device
         if mesh is None:
@@ -351,4 +416,11 @@ class MatchingSolverDualObjectiveFunctionDistributed(MatchingSolverDualObjective
             b_vec=np.asarray(b_vec),
             equality_mask=args.equality_mask,
         )
-        super().__init__(full_args, gamma=gamma, batching=batching, mesh=mesh)
+        super().__init__(
+            full_args,
+            gamma=gamma,
+            batching=batching,
+            mesh=mesh,
+            use_pallas=use_pallas,
+            pallas_block_k=pallas_block_k,
+        )

@@ -109,3 +109,63 @@ def test_pallas_matches_jnp_objective_on_random_problem():
     assert np.allclose(np.asarray(base.dual_gradient), np.asarray(fused.dual_gradient), atol=1e-4)
     assert np.isclose(float(base.dual_objective), float(fused.dual_objective), rtol=1e-4, atol=1e-3)
     assert np.isclose(float(base.reg_penalty), float(fused.reg_penalty), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_pallas_sharded_matches_single_device(n_devices):
+    """use_pallas + mesh (shard_map + psum) agrees with the 1-device kernel."""
+    from dualip_tpu.parallel.mesh import default_mesh
+
+    rng = np.random.default_rng(7)
+    m, n = 16, 200
+    dense = np.abs(rng.normal(size=(m, n))).astype(np.float32)
+    dense[rng.random(size=(m, n)) < 0.6] = 0.0
+    dense[0] = np.where(dense[0] == 0, 0.1, dense[0])
+    A = csc_from_dense(dense)
+    C = csc_from_dense(np.where(dense != 0, -dense, 0).astype(np.float32))
+    b = np.abs(rng.normal(size=m)).astype(np.float32)
+    pm = create_projection_map("simplex", {"z": 1}, n)
+    lam = jnp.asarray(np.abs(rng.normal(size=m)).astype(np.float32))
+
+    single = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b),
+        gamma=1e-2,
+        use_pallas=True,
+        pallas_block_k=16,
+    ).calculate(lam)
+    sharded = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b),
+        gamma=1e-2,
+        mesh=default_mesh(n_devices),
+        use_pallas=True,
+        pallas_block_k=16,
+    ).calculate(lam)
+
+    assert np.allclose(
+        np.asarray(single.dual_gradient), np.asarray(sharded.dual_gradient), atol=1e-5
+    )
+    assert np.isclose(float(single.dual_objective), float(sharded.dual_objective), rtol=1e-5, atol=1e-4)
+    assert np.isclose(float(single.reg_penalty), float(sharded.reg_penalty), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_sharded_golden_trace():
+    """Full 30-iteration solve through shard_map'd fused kernels reproduces
+    the 5x5 Scala golden trace (reference
+    tests/objectives/test_dualip_matching_simplex.py:129-141)."""
+    from dualip_tpu.parallel.mesh import default_mesh
+
+    gamma = 1e-3
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    obj = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec),
+        gamma=gamma,
+        mesh=default_mesh(2),
+        use_pallas=True,
+        pallas_block_k=8,
+    )
+    solver = AcceleratedGradientDescent(max_iter=30, gamma=gamma)
+    res = solver.maximize(obj, jnp.asarray(0.1 * np.ones(5, np.float32)))
+    for i, true_val in TRUE_VALUES:
+        got = res.dual_objective_log[i - 1]
+        assert abs(got - true_val) < 1e-5, f"iter {i}: {got} vs {true_val}"

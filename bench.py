@@ -63,8 +63,22 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     gen_s = time.perf_counter() - t0
     nnz = args.A.nnz
 
+    method = os.environ.get("DUALIP_BENCH_METHOD")  # duchi (default) | bisection_search
+    if method:
+        from dualip_tpu.projections.base import ProjectionEntry
+
+        args.projection_map = {
+            k: ProjectionEntry(e.proj_type, {**dict(e.proj_params), "method": method}, e.indices)
+            for k, e in args.projection_map.items()
+        }
+
     t0 = time.perf_counter()
-    obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, keep_flat_idx=False)
+    obj = MatchingSolverDualObjectiveFunction(
+        args,
+        gamma=1e-3,
+        keep_flat_idx=False,
+        use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
+    )
     build_s = time.perf_counter() - t0
 
     solver = AcceleratedGradientDescent(

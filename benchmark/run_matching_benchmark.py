@@ -35,6 +35,8 @@ def main():
     p.add_argument("--seed", type=int, default=CONFIG.SEED)
     p.add_argument("--use-preconditioning", action="store_true", default=CONFIG.USE_PRECONDITIONING)
     p.add_argument("--no-batching", action="store_true")
+    p.add_argument("--use-pallas", action="store_true", help="fused Pallas tile kernel")
+    p.add_argument("--pallas-block-k", type=int, default=1024)
     p.add_argument("--use-gamma-decay", action="store_true")
     p.add_argument("--decay-factor", type=float, default=0.5)
     p.add_argument("--decay-steps", type=int, default=100)
@@ -83,7 +85,12 @@ def main():
 
     t0 = time.perf_counter()
     objective = MatchingSolverDualObjectiveFunction(
-        input_args, gamma=gamma, batching=not args.no_batching, keep_flat_idx=False
+        input_args,
+        gamma=gamma,
+        batching=not args.no_batching,
+        keep_flat_idx=False,
+        use_pallas=args.use_pallas,
+        pallas_block_k=args.pallas_block_k,
     )
     print(f"tiles: {time.perf_counter()-t0:.1f}s ({len(objective.bcsc.tiles)} tiles)")
 

@@ -49,11 +49,24 @@ class MIPLIBInputArgs(BaseInputArgs):
 
 
 class _DenseOps:
-    """Dense A: matvecs on the MXU."""
+    """Dense A: matvecs on the MXU.
 
-    def __init__(self, A: np.ndarray, dtype):
+    With a mesh, A is device_put sharded along the variable (column) axis and
+    the matvecs stay plain matmuls — XLA's SPMD partitioner runs them on local
+    column blocks and inserts the all-reduce / all-gather (the dense analog of
+    the reference's entity-column sharding, ``dist_utils.py:28-71``, which the
+    reference never wired to its general-LP objective).
+    """
+
+    def __init__(self, A: np.ndarray, dtype, mesh=None):
         self.A = jnp.asarray(np.asarray(A, dtype=dtype))
         self.shape = self.A.shape
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.A = jax.device_put(
+                self.A, NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+            )
 
     def matvec(self, x: Array) -> Array:  # A @ x
         return self.A @ x
@@ -66,19 +79,64 @@ class _DenseOps:
 
 
 class _SparseOps:
-    """COO A: gather + segment_sum matvecs."""
+    """COO A: gather + segment_sum matvecs.
 
-    def __init__(self, A: CSCMatrix, dtype):
+    With a mesh, the COO triplets shard along the nnz axis (padded with
+    explicit zeros) and each matvec runs per-shard under ``shard_map``:
+    local segment_sum over the shard's nonzeros, then one psum of the
+    (m,)- or (n,)-vector.  segment_sum is not reliably GSPMD-partitionable,
+    so the collective is written out explicitly.
+    """
+
+    def __init__(self, A: CSCMatrix, dtype, mesh=None):
         self.shape = A.shape
-        self.rows = jnp.asarray(A.row_indices.astype(np.int32))
-        self.cols = jnp.asarray(csc_col_ids(A).astype(np.int32))
-        self.vals = jnp.asarray(A.data.astype(dtype))
+        self.mesh = mesh
+        rows = A.row_indices.astype(np.int32)
+        cols = csc_col_ids(A).astype(np.int32)
+        vals = A.data.astype(dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_shards = int(np.prod(mesh.devices.shape))
+            pad = (-len(vals)) % n_shards
+            if pad:
+                rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+                cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+                vals = np.concatenate([vals, np.zeros(pad, dtype)])
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            self.rows = jax.device_put(jnp.asarray(rows), sh)
+            self.cols = jax.device_put(jnp.asarray(cols), sh)
+            self.vals = jax.device_put(jnp.asarray(vals), sh)
+        else:
+            self.rows = jnp.asarray(rows)
+            self.cols = jnp.asarray(cols)
+            self.vals = jnp.asarray(vals)
         self._host = A
 
+    def _sharded_segsum(self, vec: Array, gather_idx: Array, seg_idx: Array, num_segments: int) -> Array:
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+
+        def local(vals, gi, si, v):
+            part = jax.ops.segment_sum(vals * v[gi], si, num_segments=num_segments)
+            return jax.lax.psum(part, axis)
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()),
+            out_specs=P(),
+        )(self.vals, gather_idx, seg_idx, vec)
+
     def matvec(self, x: Array) -> Array:
+        if self.mesh is not None:
+            return self._sharded_segsum(x, self.cols, self.rows, self.shape[0])
         return jax.ops.segment_sum(self.vals * x[self.cols], self.rows, num_segments=self.shape[0])
 
     def rmatvec(self, y: Array) -> Array:
+        if self.mesh is not None:
+            return self._sharded_segsum(y, self.rows, self.cols, self.shape[1])
         return jax.ops.segment_sum(self.vals * y[self.rows], self.cols, num_segments=self.shape[1])
 
     def row_norms(self) -> np.ndarray:
@@ -94,23 +152,45 @@ def _param_bound(params: dict, short: str, long: str):
 
 
 class MIPLIB2017ObjectiveFunction(BaseObjective):
-    """General-LP dual objective (reference ``miplib.py:28-109``)."""
+    """General-LP dual objective (reference ``miplib.py:28-109``).
+
+    Pass ``mesh`` (1-D ``jax.sharding.Mesh``) to shard A over the mesh — dense
+    A by variable columns (GSPMD matmuls), sparse A by nonzeros (shard_map +
+    psum) — with duals/c/b replicated.  The reference's general-LP objective
+    was single-device only; this extends the reference's entity-sharding
+    strategy (its only parallelism axis, SURVEY §2.3) to the general-LP path.
+    """
 
     def __init__(
         self,
         miplib_input_args: MIPLIBInputArgs,
         use_jacobi_precondition: bool = False,
         dtype=np.float32,
+        mesh=None,
     ):
         args = miplib_input_args
         self._sparse = isinstance(args.A, CSCMatrix)
-        self.ops = _SparseOps(args.A, dtype) if self._sparse else _DenseOps(args.A, dtype)
+        self.mesh = mesh
+        self.ops = (
+            _SparseOps(args.A, dtype, mesh=mesh)
+            if self._sparse
+            else _DenseOps(args.A, dtype, mesh=mesh)
+        )
         self.c = jnp.asarray(np.asarray(args.c, dtype=dtype))
         self.b_vec = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
         self.projection_map = args.projection_map
         self.equality_mask = (
             jnp.asarray(np.asarray(args.equality_mask)) if args.equality_mask is not None else None
         )
+        if mesh is not None:
+            # Duals, costs, and bounds replicate over the mesh; only A shards.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.c = jax.device_put(self.c, rep)
+            self.b_vec = jax.device_put(self.b_vec, rep)
+            if self.equality_mask is not None:
+                self.equality_mask = jax.device_put(self.equality_mask, rep)
         self.use_jacobi_precondition = use_jacobi_precondition
 
         lower, upper = self._construct_variable_lower_upper_bound()

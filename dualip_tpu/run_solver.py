@@ -57,6 +57,10 @@ def build_objective(
         kwargs = dict(objective_kwargs)
         if objective_args.use_jacobi_precondition:
             kwargs.setdefault("use_jacobi_precondition", True)
+        if compute_args.compute_device_num > 1 and "mesh" not in kwargs:
+            from dualip_tpu.parallel.mesh import default_mesh
+
+            kwargs["mesh"] = default_mesh(compute_args.compute_device_num)
         return MIPLIB2017ObjectiveFunction(miplib_input_args=input_args, **kwargs)
 
     if objective_type == "matching":

@@ -29,6 +29,10 @@ def main() -> int:
     parser.add_argument("--initial-step-size", type=float, default=1e-5)
     parser.add_argument("--gamma", type=float, default=1e-3)
     parser.add_argument("--platform", default=None, help="cpu | tpu (default: ambient)")
+    parser.add_argument(
+        "--num-devices", type=int, default=1,
+        help="mesh devices for the sharded general-LP path (sparse A shards by nnz)",
+    )
     parser.add_argument("--expected-dual", type=float, default=27.0)
     parser.add_argument("--tolerance", type=float, default=1.0)
     args = parser.parse_args()
@@ -37,6 +41,8 @@ def main() -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu" and args.num_devices > 1:
+        jax.config.update("jax_num_cpu_devices", args.num_devices)
 
     import jax.numpy as jnp
 
@@ -55,7 +61,9 @@ def main() -> int:
             initial_step_size=args.initial_step_size,
             gamma=args.gamma,
         ),
-        compute_args=ComputeArgs(host_device=args.platform or "cpu"),
+        compute_args=ComputeArgs(
+            host_device=args.platform or "cpu", compute_device_num=args.num_devices
+        ),
         objective_args=ObjectiveArgs(objective_type="miplib2017"),
     )
     print(f"solved in {time.perf_counter() - t0:.1f}s")

@@ -68,9 +68,68 @@ def check_correct_csc_construction(input_tensor: CSCMatrix) -> None:
         raise InputValidationError("No zeroes are allowed in CSC values component")
 
 
-def check_projection_map():
-    """Reference ``input_validation.py:80-83`` — unimplemented there as well."""
-    raise NotImplementedError("Checking the projection map is not yet implemented")
+def check_projection_map(projection_map, num_cols=None) -> None:
+    """Validate a projection map (implements what the reference left as
+    ``NotImplementedError``, ``input_validation.py:80-83``).
+
+    Checks: every value is a ``ProjectionEntry`` with a registered
+    ``proj_type``; indices are non-negative ints, unique within and across
+    entries (a column owned by two entries would make the solve
+    order-dependent), and within ``[0, num_cols)`` when ``num_cols`` is given;
+    per-type parameter sanity (box/cone bound ordering, simplex ``z > 0``,
+    known ``method``).
+    """
+    from dualip_tpu.projections.base import ProjectionEntry, registered_projections
+
+    if not isinstance(projection_map, dict) or not projection_map:
+        raise InputValidationError("projection_map must be a non-empty dict")
+
+    known = set(registered_projections())
+    seen = {}
+    for key, entry in projection_map.items():
+        if not isinstance(entry, ProjectionEntry):
+            raise InputValidationError(f"projection_map[{key!r}] is not a ProjectionEntry")
+        if entry.proj_type not in known:
+            raise InputValidationError(
+                f"projection_map[{key!r}]: unknown proj_type {entry.proj_type!r} "
+                f"(registered: {sorted(known)})"
+            )
+        params = dict(entry.proj_params or {})
+        method = params.get("method")
+        if method is not None and method not in ("duchi", "bisection_search"):
+            raise InputValidationError(f"projection_map[{key!r}]: unknown method {method!r}")
+        lo = params.get("lower", params.get("l"))
+        hi = params.get("upper", params.get("u"))
+        # NaN-coded bounds mean "absent" (schema defect §2.6.4 unification).
+        lo = None if lo is not None and np.isnan(lo) else lo
+        hi = None if hi is not None and np.isnan(hi) else hi
+        if entry.proj_type == "box" and lo is not None and hi is not None and lo > hi:
+            raise InputValidationError(f"projection_map[{key!r}]: box lower {lo} > upper {hi}")
+        if entry.proj_type == "cone" and lo is not None and hi is not None:
+            raise InputValidationError(f"projection_map[{key!r}]: cone takes only one bound")
+        if entry.proj_type in ("simplex", "simplex_eq"):
+            z = params.get("z", 1.0)
+            if not np.isfinite(z) or z <= 0:
+                raise InputValidationError(f"projection_map[{key!r}]: simplex z must be > 0, got {z}")
+
+        idx = np.asarray(entry.indices, dtype=np.int64).reshape(-1)
+        if idx.size == 0:
+            raise InputValidationError(f"projection_map[{key!r}] has no indices")
+        if (idx < 0).any():
+            raise InputValidationError(f"projection_map[{key!r}] has negative indices")
+        if num_cols is not None and (idx >= num_cols).any():
+            raise InputValidationError(
+                f"projection_map[{key!r}] has indices >= num_cols ({num_cols})"
+            )
+        uniq, counts = np.unique(idx, return_counts=True)
+        if (counts > 1).any():
+            raise InputValidationError(f"projection_map[{key!r}] has duplicate indices")
+        for prev_key, prev_idx in seen.items():
+            if np.intersect1d(uniq, prev_idx, assume_unique=True).size:
+                raise InputValidationError(
+                    f"projection_map entries {prev_key!r} and {key!r} share column indices"
+                )
+        seen[key] = uniq
 
 
 def run_all_checks(input_tensor: Union[np.ndarray, CSCMatrix]) -> None:

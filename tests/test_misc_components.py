@@ -165,11 +165,44 @@ def test_graft_dryrun_multichip():
 
 
 # ------------------------------------------------------- validation misc
-def test_check_projection_map_not_implemented():
-    from dualip_tpu.preprocessing import check_projection_map
+def test_check_projection_map():
+    # Implemented here (the reference left it NotImplementedError,
+    # input_validation.py:80-83).
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        check_projection_map()
+    from dualip_tpu.preprocessing import InputValidationError, check_projection_map
+    from dualip_tpu.projections.base import ProjectionEntry
+
+    ok = {
+        "box": ProjectionEntry("box", {"lower": 0.0, "upper": 1.0}, [0, 1]),
+        "simplex": ProjectionEntry("simplex", {"z": 1.0}, [2, 3]),
+        "cone": ProjectionEntry("cone", {"lower": 0.0, "upper": float("nan")}, [4]),
+    }
+    check_projection_map(ok, num_cols=5)  # no raise
+
+    bad_cases = [
+        {},  # empty
+        {"x": "not an entry"},
+        {"x": ProjectionEntry("nope", {}, [0])},  # unregistered type
+        {"x": ProjectionEntry("box", {"lower": 2.0, "upper": 1.0}, [0])},  # lo > hi
+        {"x": ProjectionEntry("cone", {"lower": 0.0, "upper": 1.0}, [0])},  # two bounds
+        {"x": ProjectionEntry("simplex", {"z": -1.0}, [0])},  # bad z
+        {"x": ProjectionEntry("simplex", {"z": 1.0, "method": "qp"}, [0])},  # bad method
+        {"x": ProjectionEntry("box", {}, [])},  # no indices
+        {"x": ProjectionEntry("box", {}, [-1])},  # negative index
+        {"x": ProjectionEntry("box", {}, [0, 0])},  # dup within entry
+        {  # dup across entries
+            "a": ProjectionEntry("box", {}, [0, 1]),
+            "b": ProjectionEntry("simplex", {"z": 1.0}, [1, 2]),
+        },
+    ]
+    for bad in bad_cases:
+        with pytest.raises(InputValidationError):
+            check_projection_map(bad, num_cols=5)
+    with pytest.raises(InputValidationError):  # out of bounds
+        check_projection_map({"x": ProjectionEntry("box", {}, [7])}, num_cols=5)
+    np_idx = {"x": ProjectionEntry("box", {}, np.array([0, 1]))}
+    check_projection_map(np_idx)  # array indices, no num_cols
 
 
 def test_collect_stats_populates_last_run_stats():

@@ -210,7 +210,8 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
     a_rows, a_cols, a_vals = [], [], []
     for rname, cname, value in coeffs:
         if rname == obj_row:
-            c[col_idx[cname]] = value
+            # MPS convention: repeated entries for the same (row, column) sum.
+            c[col_idx[cname]] += value
             continue
         if rname not in row_idx:
             raise ValueError(f"Coefficient references unknown row {rname!r}")
@@ -218,6 +219,23 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
         a_rows.append(i)
         a_cols.append(col_idx[cname])
         a_vals.append(-value if row_types[rname] == "G" else value)
+
+    # Merge duplicate (row, col) constraint entries by summing (MPS
+    # convention); leaving duplicates would produce a CSC that
+    # check_correct_csc_construction rightly rejects.
+    if a_vals:
+        ar = np.asarray(a_rows, dtype=np.int64)
+        ac = np.asarray(a_cols, dtype=np.int64)
+        av = np.asarray(a_vals, dtype=np.float64)
+        key = ac * m + ar
+        uniq, inv = np.unique(key, return_inverse=True)
+        if uniq.size != key.size:
+            merged = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(merged, inv, av)
+            ar = (uniq % m).astype(np.int64)
+            ac = (uniq // m).astype(np.int64)
+            av = merged
+        a_rows, a_cols, a_vals = ar.tolist(), ac.tolist(), av.tolist()
 
     # Resolve bounds with the reference's conventions (read_mps_data.py:556-588).
     lower = np.zeros(n, dtype=np.float64)

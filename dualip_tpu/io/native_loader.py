@@ -60,7 +60,9 @@ def load_native() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("DUALIP_DISABLE_NATIVE") == "1":
             return None
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # A prebuilt .so without the source alongside (e.g. a packaged
+        # deployment) is used as-is; otherwise rebuild when stale.
+        if not _SO.exists() or (_SRC.exists() and _SO.stat().st_mtime < _SRC.stat().st_mtime):
             if not _SRC.exists() or not _compile():
                 return None
         try:
@@ -69,20 +71,24 @@ def load_native() -> Optional[ctypes.CDLL]:
             print(f"dualip native load failed: {e}")
             return None
 
-        lib.dualip_gen_create.restype = ctypes.c_void_p
-        lib.dualip_gen_create.argtypes = [
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
-        ]
-        lib.dualip_gen_nnz.restype = ctypes.c_int64
-        lib.dualip_gen_nnz.argtypes = [ctypes.c_void_p]
-        lib.dualip_gen_export.restype = None
-        lib.dualip_gen_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
-        lib.dualip_gen_free.argtypes = [ctypes.c_void_p]
-        lib.dualip_fill_tile.restype = None
-        lib.dualip_fill_tile.argtypes = [ctypes.c_void_p] * 4 + [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-        ] + [ctypes.c_void_p] * 6 + [ctypes.c_int]
-        if lib.dualip_native_abi_version() != 1:
+        try:
+            lib.dualip_gen_create.restype = ctypes.c_void_p
+            lib.dualip_gen_create.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+            ]
+            lib.dualip_gen_nnz.restype = ctypes.c_int64
+            lib.dualip_gen_nnz.argtypes = [ctypes.c_void_p]
+            lib.dualip_gen_export.restype = None
+            lib.dualip_gen_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+            lib.dualip_gen_free.argtypes = [ctypes.c_void_p]
+            lib.dualip_fill_tile.restype = None
+            lib.dualip_fill_tile.argtypes = [ctypes.c_void_p] * 4 + [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ] + [ctypes.c_void_p] * 6 + [ctypes.c_int]
+            if lib.dualip_native_abi_version() != 1:
+                return None
+        except AttributeError as e:  # incompatible / truncated .so
+            print(f"dualip native library rejected: {e}")
             return None
         _lib = lib
         return _lib

@@ -46,24 +46,13 @@ def _project_block(z, kind: str, params: dict, length, L: int):
     dtype = z.dtype
     zero = jnp.zeros((), dtype=dtype)
 
-    if kind == "identity":
-        x = z
-    elif kind == "box":
-        lo = params.get("lower")
-        up = params.get("upper")
-        x = z
-        if lo is not None:
-            x = jnp.maximum(x, jnp.asarray(lo, dtype))
-        if up is not None:
-            x = jnp.minimum(x, jnp.asarray(up, dtype))
-    elif kind == "cone":
-        lo = params.get("lower")
-        up = params.get("upper")
-        x = z
-        if lo is not None:
-            x = jnp.maximum(x, jnp.asarray(lo, dtype))
-        elif up is not None:
-            x = jnp.minimum(x, jnp.asarray(up, dtype))
+    if kind in ("identity", "box", "cone"):
+        # Clamps are elementwise (axis-independent), so the registered
+        # operators apply unchanged to the (L, TK) layout — one source of
+        # truth for defaults, 'l'/'u' aliases, and NaN-coded absent bounds.
+        from dualip_tpu.projections.base import project
+
+        x = project(kind, **params)(z)
     elif kind in ("simplex", "simplex_eq"):
         radius = jnp.asarray(params.get("z", 1.0), dtype)
         tol = jnp.asarray(1e-6, dtype)

@@ -32,6 +32,7 @@ TPU-native design (SURVEY.md §7.1):
 from __future__ import annotations
 
 import functools
+import inspect
 import math
 import os
 import time
@@ -432,13 +433,21 @@ class AcceleratedGradientDescent:
         if self.save_primal:
             # One extra evaluation at the final iteration's x (the reference
             # honored save_primal only on the last iteration, agd.py:155-158).
-            full = f.calculate(
-                dual_val=carry.last_x,
-                gamma=(carry.gamma if self.gamma is not None else None),
-                save_primal=True,
-                rank=rank,
-            )
-            final_res = full
+            # Mirror _calc's kwargs semantics: gamma only when configured, and
+            # optional kwargs only if the (possibly duck-typed, reference-
+            # style) objective accepts them.
+            kwargs = {}
+            if self.gamma is not None:
+                kwargs["gamma"] = carry.gamma
+            try:
+                accepted = inspect.signature(f.calculate).parameters
+                if "save_primal" in accepted:
+                    kwargs["save_primal"] = True
+                if "rank" in accepted:
+                    kwargs["rank"] = rank
+            except (TypeError, ValueError):
+                kwargs.update(save_primal=True, rank=rank)
+            final_res = f.calculate(dual_val=carry.last_x, **kwargs)
 
         if _mlflow_state.is_enabled():
             log_objective_result(final_res, step=self.max_iter)

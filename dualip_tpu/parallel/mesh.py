@@ -43,8 +43,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None, **kwargs) ->
 
     Replaces the reference's ``dist.init_process_group("nccl")`` + torchrun
     launch (reference ``run_matching_benchmark_dist.py:35-41``).
+
+    NOTE: must run before anything touches the XLA backend — even
+    ``jax.process_count()`` initializes it, after which
+    ``jax.distributed.initialize`` refuses to run.  We therefore consult only
+    the client-side distributed state, never a backend-initializing call.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    if coordinator_address is None:
+        return  # single-process / externally-launched run
+    if jax.distributed.is_initialized():
+        return  # already initialized (e.g. by the launcher)
+    jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)

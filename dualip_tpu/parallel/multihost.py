@@ -67,6 +67,9 @@ def local_matching_shard(
 def assemble_global_tiles(
     local_bcsc: BlockCSC,
     mesh: Mesh,
+    col_offset: Optional[int] = None,
+    global_n: Optional[int] = None,
+    global_nnz: Optional[int] = None,
 ) -> BlockCSC:
     """Turn per-process local tiles into global mesh-sharded device arrays.
 
@@ -74,9 +77,19 @@ def assemble_global_tiles(
     per-process K); build them with the same ``projection_map`` and
     ``pad_cols_to`` so shapes line up.  Tile K axes concatenate across
     processes into the global entity axis.
+
+    ``col_offset`` is this process's global column start (e.g.
+    ``process_shard_bounds(global_n)[0]``): with it, ``Tile.col_ids`` become
+    global ids as documented; ``global_n``/``global_nnz`` fix the container's
+    dimensions (defaults: derived from ``global_n`` when given, else left
+    shard-local).  Host-side scatter-back metadata (``spec.flat_idx``) is
+    shard-local by construction and is dropped from the assembled specs —
+    ``tiles_values_to_flat`` must be run per process on the local BlockCSC.
     """
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, PartitionSpec(axis))
+    if col_offset is None and global_n is not None:
+        col_offset = process_shard_bounds(global_n)[0]
     global_tiles = []
     for tile, spec in zip(local_bcsc.tiles, local_bcsc.specs):
         def to_global(local_arr):
@@ -84,19 +97,25 @@ def assemble_global_tiles(
             global_shape = (local_arr.shape[0] * jax.process_count(),) + local_arr.shape[1:]
             return jax.make_array_from_process_local_data(sharding, local_arr, global_shape)
 
+        col_ids = np.asarray(tile.col_ids)
+        if col_offset:
+            col_ids = np.where(col_ids >= 0, col_ids + int(col_offset), col_ids)
         global_tiles.append(
             Tile(
                 rows=to_global(tile.rows),
                 a=to_global(tile.a),
                 c=to_global(tile.c),
                 length=to_global(tile.length),
-                col_ids=to_global(tile.col_ids),
+                col_ids=to_global(col_ids),
             )
         )
+    from dataclasses import replace
+
+    specs = [replace(s, flat_idx=None) for s in local_bcsc.specs]
     return BlockCSC(
         tiles=global_tiles,
-        specs=local_bcsc.specs,
+        specs=specs,
         m=local_bcsc.m,
-        n=local_bcsc.n,
-        nnz=local_bcsc.nnz,
+        n=global_n if global_n is not None else local_bcsc.n,
+        nnz=global_nnz if global_nnz is not None else local_bcsc.nnz,
     )

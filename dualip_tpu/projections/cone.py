@@ -7,26 +7,18 @@ Accepts the same ``l``/``u`` short aliases as the box projection.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
 from dualip_tpu.projections.base import ProjectionOperator, register
-
-
-def _resolve(alias_short, alias_long):
-    val = alias_short if alias_short is not None else alias_long
-    if val is not None and isinstance(val, float) and math.isnan(val):
-        return None
-    return val
+from dualip_tpu.projections.box import _resolve
 
 
 @register("cone")
 class ConeProjection(ProjectionOperator):
     def __init__(self, lower=None, upper=None, l=None, u=None):  # noqa: E741 - parity with reference schema
-        self.lower = _resolve(l, lower)
-        self.upper = _resolve(u, upper)
+        self.lower = _resolve(l, lower, None)
+        self.upper = _resolve(u, upper, None)
         if self.lower is not None and self.upper is not None:
             raise ValueError("Only one of 'lower' or 'upper' should be specified, not both.")
 

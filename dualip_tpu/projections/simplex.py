@@ -105,11 +105,21 @@ def bisection_project(
     Branch-free: runs the fixed ``max_iter`` bisection for every column (the
     reference's early-exit is a CPU optimization; on TPU the fixed-trip loop
     vectorizes and converges to the same ``tol``).
+
+    Semantics anchor to ``duchi_project`` (the golden-traced default), NOT to
+    the reference's bisection, which had two defects its own parity tests
+    skirted: (a) no initial clamp, so the equality case disagreed with Duchi
+    on negative inputs; (b) the inequality fast path required *raw* ``x >= 0``
+    (reference ``simplex.py:41``), so a column like ``[-0.5, 0.3]`` was forced
+    onto the ``sum == z`` facet instead of the correct interior ``[0, 0.3]``.
+    Pre-clamping (as Duchi does) fixes both at once: entries are nonnegative,
+    so inequality feasibility reduces to the sum test.
     """
     dtype = x.dtype
     L = x.shape[-1]
     zt = jnp.asarray(z, dtype=dtype)
     tolt = jnp.asarray(tol, dtype=dtype)
+    x = jnp.maximum(x, jnp.zeros((), dtype=dtype))
 
     xn = x / zt
     x_max = jnp.max(xn, axis=-1, keepdims=True)
@@ -134,7 +144,9 @@ def bisection_project(
         w = jnp.where(shortcut[..., None], _one_hot_vertex(x, i0, zt), w)
 
     if inequality:
-        feasible = (jnp.sum(x, axis=-1) <= zt + tolt) & jnp.all(x >= -tolt, axis=-1)
+        # After the clamp all entries are >= 0, so feasibility reduces to the
+        # sum test (mirrors duchi_project).
+        feasible = jnp.sum(x, axis=-1) <= zt + tolt
         w = jnp.where(feasible[..., None], x, w)
     return w
 

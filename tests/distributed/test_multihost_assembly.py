@@ -51,3 +51,28 @@ def test_assemble_global_tiles_single_process():
     )
     for i, true_val in TRUE_VALUES:
         assert abs(res.dual_objective_log[i - 1] - true_val) < 1e-5
+
+
+def test_assemble_global_tiles_metadata():
+    # Regression: assembled tiles used to keep shard-local n/nnz/col_ids and
+    # carry shard-local flat_idx in their specs.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = default_mesh(8)
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    local = local_matching_shard(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec),
+        process_index=0,
+        process_count=1,
+    )
+    local_bcsc = build_blockcsc(local.A, local.c, local.projection_map, pad_cols_to=8)
+    g = assemble_global_tiles(
+        local_bcsc, mesh, col_offset=7, global_n=A.shape[1] + 7, global_nnz=123
+    )
+    assert g.n == A.shape[1] + 7 and g.nnz == 123
+    assert all(s.flat_idx is None for s in g.specs)
+    for t in g.tiles:
+        ids = np.asarray(t.col_ids)
+        valid = ids >= 0
+        assert valid.any() and (ids[valid] >= 7).all()  # offset applied

@@ -35,7 +35,14 @@ def _random_tile(rng, L, K, m):
     ("simplex", (("z", 2.5),)),
     ("simplex_eq", (("z", 1.0),)),
     ("box", (("lower", 0.0), ("upper", 1.0))),
+    # Regression: the kernel must honor the registered operators' full schema
+    # — defaults [0, 1], the 'l'/'u' alias keys, and NaN-coded absent bounds —
+    # not just explicit 'lower'/'upper'.
+    ("box", ()),
+    ("box", (("l", -0.5), ("u", 0.5))),
+    ("box", (("lower", float("nan")), ("upper", 0.25))),
     ("cone", (("lower", 0.0),)),
+    ("cone", (("u", 0.1),)),
     ("identity", ()),
 ])
 def test_fused_kernel_matches_jnp(kind, params):

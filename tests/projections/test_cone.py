@@ -25,3 +25,14 @@ def test_cone_identity_when_unbounded():
 def test_cone_rejects_both_bounds():
     with pytest.raises(ValueError):
         project("cone", lower=0.0, upper=1.0)
+
+
+def test_cone_alias_conflict_raises():
+    # Regression: cone silently preferred 'l' over 'lower'; now it shares the
+    # box resolver's both-given error.
+    import pytest
+
+    from dualip_tpu.projections.base import project
+
+    with pytest.raises(ValueError):
+        project("cone", lower=5.0, l=0.0)

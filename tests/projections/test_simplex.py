@@ -147,3 +147,35 @@ def test_single_element_blocks():
     assert np.allclose(y_eq, [[1.0], [1.0], [1.0]], atol=1e-6)
     y_ineq = np.asarray(duchi_project(x, 1.0, inequality=True))
     assert np.allclose(y_ineq, [[0.3], [0.0], [1.0]], atol=1e-6)
+
+
+def test_bisection_matches_duchi_on_negative_inequality():
+    # Regression: the inequality fast path must gate on CLAMPED feasibility.
+    # The reference's bisection gated on raw x >= 0 (simplex.py:41) and forced
+    # [-0.5, 0.3] onto the sum==z facet; the true projection (and Duchi's
+    # answer) is the interior point [0, 0.3].
+    x = jnp.array([[-0.5, 0.3]], dtype=jnp.float32)
+    rb = np.asarray(bisection_project(x, 1.0, inequality=True))
+    rd = np.asarray(duchi_project(x, 1.0, inequality=True))
+    assert np.allclose(rb, [[0.0, 0.3]], atol=1e-5)
+    assert np.allclose(rb, rd, atol=1e-5)
+
+
+def test_bisection_matches_duchi_preclamp_equality():
+    # Regression: both methods pre-clamp to x >= 0 (the golden-traced Duchi
+    # semantics); without it bisection returned [0, 1] here instead of
+    # Duchi's [0.4, 0.6].
+    x = jnp.array([[-5.0, 0.2]], dtype=jnp.float32)
+    rb = np.asarray(bisection_project(x, 1.0, inequality=False))
+    rd = np.asarray(duchi_project(x, 1.0, inequality=False))
+    assert np.allclose(rd, [[0.4, 0.6]], atol=1e-5)
+    assert np.allclose(rb, rd, atol=1e-4)
+
+
+def test_bisection_duchi_random_parity_both_modes():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(64, 9)).astype(np.float32) * 3)
+    for ineq in (False, True):
+        rb = np.asarray(bisection_project(x, 2.5, inequality=ineq))
+        rd = np.asarray(duchi_project(x, 2.5, inequality=ineq))
+        assert np.allclose(rb, rd, atol=2e-4), f"inequality={ineq}"

@@ -113,3 +113,26 @@ def test_gamma_decay_changes_gamma():
     res = solver.maximize(GammaProbe(), jnp.zeros(3, dtype=jnp.float32))
     # gamma seen by calculate at iters 1..6: decays after iters 2, 4 (and 6, unseen)
     assert np.allclose(res.dual_objective_log, [1.0, 1.0, 0.5, 0.5, 0.25, 0.25])
+
+
+class StrictToyObjective:
+    """Duck-typed objective whose calculate takes ONLY dual_val (no gamma/
+    save_primal/rank and no **kwargs) — the minimal reference-style surface."""
+
+    equality_mask = None
+
+    def calculate(self, dual_val):
+        x = dual_val[0]
+        return ObjectiveResult(
+            dual_gradient=jnp.stack([-2.0 * (x - 3.0)]), dual_objective=-((x - 3.0) ** 2)
+        )
+
+
+def test_save_primal_with_strict_duck_typed_objective():
+    # Regression: the save_primal final evaluation used to pass
+    # gamma/save_primal/rank unconditionally, crashing after the solve on
+    # objectives that don't accept them.
+    solver = AcceleratedGradientDescent(max_iter=3, gamma=None, save_primal=True)
+    res = solver.maximize(StrictToyObjective(), jnp.array([0.0], dtype=jnp.float32))
+    assert np.isfinite(res.dual_objective)
+    assert res.objective_result.dual_gradient is not None

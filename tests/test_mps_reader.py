@@ -132,3 +132,35 @@ def test_v150d30_dual_objective():
     solver = AcceleratedGradientDescent(max_iter=10000, gamma=1e-3, initial_step_size=1e-5)
     res = solver.maximize(obj, jnp.zeros(lp.shape[0], jnp.float32))
     assert abs(res.dual_objective - 27.0) < 1.0
+
+
+def test_duplicate_column_entries_sum(tmp_path):
+    # MPS convention: repeated (row, column) coefficients sum — both in the
+    # objective row and in constraint rows (regression: objective overwrote,
+    # constraints produced a CSC with duplicate row indices).
+    text = """NAME dup
+ROWS
+ N  COST
+ L  R1
+COLUMNS
+    X  COST  1.0  R1  2.0
+    X  COST  0.5  R1  3.0
+    Y  R1  1.0
+RHS
+    RHS  R1  10.0
+ENDATA
+"""
+    p = tmp_path / "dup.mps"
+    p.write_text(text)
+    lp = read_mps_file(str(p))
+    xj = lp.col_names.index("X")
+    yj = lp.col_names.index("Y")
+    assert lp.c[xj] == 1.5
+    A = lp.to_csc()
+    from dualip_tpu.preprocessing import check_correct_csc_construction
+    from dualip_tpu.sparse.csc import csc_to_dense
+
+    check_correct_csc_construction(A)  # no duplicate row indices
+    dense = csc_to_dense(A)
+    assert dense[0, xj] == 5.0
+    assert dense[0, yj] == 1.0

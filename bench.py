@@ -78,6 +78,7 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
         gamma=1e-3,
         keep_flat_idx=False,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
+        layout=os.environ.get("DUALIP_BENCH_LAYOUT", "csc"),
     )
     build_s = time.perf_counter() - t0
 

@@ -144,6 +144,47 @@ def matching_local_parts_pallas(
     return grad, dual_obj, reg
 
 
+def matching_local_parts_rowmajor(
+    bcsc: BlockCSC, rl, dual_val: Array, gamma
+) -> Tuple[Array, Array, Array]:
+    """Scatter/gather-free (grad, dual_obj, reg) via the row-major companion
+    layout (``dualip_tpu/sparse/rowmajor.py`` — see its docstring for the
+    TPU rationale).  Identical math to ``matching_local_parts``; the gradient
+    accumulation order differs (per-row lane sums instead of segment_sum),
+    within normal fp32 reassociation tolerance.
+    """
+    dtype = dual_val.dtype
+    neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
+    scaled = neg_inv_gamma * dual_val  # (m,)
+
+    # z in row layout: the dual value is constant per sublane — no per-nnz gather.
+    z_parts = [
+        rt.a * scaled[rt.row_ids][:, None] + neg_inv_gamma * rt.c for rt in rl.row_tiles
+    ]
+    z_cat = jnp.concatenate(
+        [p.reshape(-1) for p in z_parts] + [jnp.zeros(1, dtype=dtype)]
+    )
+
+    # permutation gather 1: z into column tiles; project; partials.
+    dual_obj = jnp.zeros((), dtype=dtype)
+    reg = jnp.zeros((), dtype=dtype)
+    ax_parts = []
+    for tile, spec, zi in zip(bcsc.tiles, bcsc.specs, rl.zidx):
+        z = z_cat[zi]
+        x = spec.projection()(z)
+        x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
+        ax_parts.append((tile.a * x).reshape(-1))
+        reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
+        dual_obj = dual_obj + jnp.sum(tile.c * x)
+    ax_cat = jnp.concatenate(ax_parts + [jnp.zeros(1, dtype=dtype)])
+
+    # permutation gather 2: a·x into row tiles; dense lane reduction; (m,) gather.
+    sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
+    sums_cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
+    grad = sums_cat[rl.row_pos]
+    return grad, dual_obj, reg
+
+
 def matching_local_parts(
     bcsc: BlockCSC, dual_val: Array, gamma, want_primal: bool = False
 ) -> Tuple[Array, Array, Array, List[Array]]:
@@ -204,6 +245,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
     Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to shard the tiles over the
     entity axis; the solve then runs SPMD with one all-reduce per iteration.
+
+    ``layout`` selects the gradient formulation: ``"csc"`` (column tiles +
+    segment_sum, the reference-shaped pipeline) or ``"row"`` (the dual-layout
+    scatter/gather-free path, ``dualip_tpu/sparse/rowmajor.py`` — much faster
+    on TPU, single mesh device only).
     """
 
     def __init__(
@@ -216,6 +262,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         dtype=np.float32,
         use_pallas: bool = False,
         pallas_block_k: int = 1024,
+        layout: str = "csc",
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -226,6 +273,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         self.mesh = mesh
         self.use_pallas = use_pallas
         self.pallas_block_k = pallas_block_k
+        if layout not in ("csc", "row"):
+            raise ValueError(f"Unknown layout {layout!r} (expected 'csc' or 'row')")
+        if layout == "row" and (mesh is not None or use_pallas):
+            raise ValueError("layout='row' is single-device and exclusive with use_pallas")
+        self.layout = layout
 
         pad = 1
         sharding = None
@@ -249,6 +301,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             keep_flat_idx=keep_flat_idx,
             dtype=dtype,
         )
+        self.row_layout = None
+        if layout == "row":
+            from dualip_tpu.sparse.rowmajor import build_row_layout
+
+            self.row_layout = build_row_layout(self.bcsc)  # host tiles
         if use_pallas:
             self.bcsc = transpose_tiles(self.bcsc)
             if mesh is not None:
@@ -270,11 +327,16 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
     @property
     def params(self):
-        return (self.bcsc, self.b_vec)
+        return (self.bcsc, self.b_vec, self.row_layout)
 
     def calculate_traceable(self, params, dual_val: Array, gamma) -> ObjectiveResult:
-        bcsc, b_vec = params
+        bcsc, b_vec, row_layout = params
         g = self.gamma if gamma is None else gamma
+        if row_layout is not None:
+            grad, dual_obj, reg = matching_local_parts_rowmajor(bcsc, row_layout, dual_val, g)
+            if b_vec is not None:
+                return _finalize(grad, dual_obj, reg, dual_val, b_vec)
+            return ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)
         if self.use_pallas:
             interpret = jax.default_backend() != "tpu"
             if self.mesh is not None:
@@ -362,7 +424,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
             @jax.jit
             def run(params, dv, gg):
-                bcsc, b_vec = params
+                bcsc, b_vec, _ = params  # primal path always uses column tiles
                 grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, gg, want_primal=True)
                 primal_obj = dual_obj  # c·x before finalization (reference matching.py:160-161)
                 if b_vec is not None:

@@ -1,0 +1,201 @@
+"""Row-major companion layout: scatter/gather-free dual-gradient evaluation.
+
+Why this exists (TPU specifics): the column-tile pipeline's two irregular ops
+— the per-nnz dual gather ``(-λ/γ)[rows]`` and the ``segment_sum`` scatter of
+``a·x`` into the (m,) gradient — dominate the iteration on TPU, where XLA
+lowers small-table gathers and scatter-adds to near-serial loops (measured:
+together they cost ~3-4× everything else combined; the reference had the same
+ops as torch ``index_select``/``scatter_add_``, ``sparse_utils.py:54-85,
+223-243``, which CUDA hardware-accelerates but a TPU does not).
+
+The fix is a second, row-major view of the same nonzeros, built once at
+ingestion (all indices static):
+
+* **Row tiles** group the nonzeros of each constraint row into dense
+  ``(R, Lr)`` blocks (rows bucketed by their nnz with the same power-of-2 rule
+  as columns).  In this layout the dual value of a nonzero is constant per
+  sublane — ``z = a · scaled[row_id(r)] + (-1/γ)·c`` is a *broadcast*, not a
+  gather — and the per-row gradient sum is a dense lane reduction, not a
+  scatter.
+* The projection still needs the column grouping, so the two layouts are
+  connected by **static permutations** applied as plain JAX gathers from
+  large flat vectors (fast on TPU, unlike small-table gathers/scatters):
+  ``zidx`` carries row-computed z into each column tile; ``axidx`` carries
+  column-computed ``a·x`` into the row tiles.
+
+Per iteration the pipeline becomes::
+
+    z_r = a_r * scaled[row_ids][:, None] + (-1/γ) c_r    # dense, per row tile
+    z_col[t] = z_cat[zidx[t]]                            # permutation gather 1
+    x = Proj(z_col); ax = a_col * x                      # unchanged hot math
+    sums_b = Σ_lane ax_cat[axidx[b]]                     # permutation gather 2
+    grad = sums_cat[row_pos]                             # (m,) static gather
+
+with zero segment_sums and zero per-nnz table gathers.  Padding slots in
+either layout point at a trailing sentinel zero, so the zero-padding
+semantics of the column tiles (reference ``sparse_utils.py:207-214``) are
+preserved bit-for-bit.
+
+Single-mesh-device only for now: the flat permutations index the *global*
+nnz ordering; the mesh-sharded path keeps the psum/segment_sum formulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class RowTile(NamedTuple):
+    """One power-of-2 bucket of constraint rows, row-major.
+
+    ``a``/``c`` are the A/c values of each row's nonzeros (0 on padding);
+    ``row_ids`` the global constraint-row id per sublane (clamped to 0 on
+    padding rows — their ``a``/``c`` are zero so they contribute nothing);
+    ``axidx`` the position of each slot's nonzero in the concatenated
+    column-tile ``a·x`` vector (sentinel on padding).
+    """
+
+    a: Array  # (R, Lr)
+    c: Array  # (R, Lr)
+    row_ids: Array  # (R,) int32
+    axidx: Array  # (R, Lr) int32
+
+
+@dataclass
+class RowLayout:
+    """Static companion indices for one BlockCSC (a JAX pytree).
+
+    ``zidx[t]`` has the column tile's (K, L) shape and indexes the
+    concatenated row-tile z vector (+ trailing sentinel zero); ``row_pos`` is
+    (m,) and indexes the concatenated per-row sums (+ sentinel) to assemble
+    the gradient.
+    """
+
+    row_tiles: List[RowTile]
+    zidx: List[Array]
+    row_pos: Array  # (m,) int32
+
+    def tree_flatten(self):
+        return (self.row_tiles, self.zidx, self.row_pos), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(row_tiles=list(children[0]), zidx=list(children[1]), row_pos=children[2])
+
+
+jax.tree_util.register_pytree_node(
+    RowLayout, RowLayout.tree_flatten, lambda aux, ch: RowLayout.tree_unflatten(aux, ch)
+)
+
+
+def build_row_layout(bcsc) -> RowLayout:
+    """Build the row-major companion of a (host-side) BlockCSC.
+
+    Must run on the host tiles (before ``device_put_blockcsc``); all outputs
+    are numpy and become device constants/arguments alongside the tiles.
+    """
+    from dualip_tpu.sparse.bcsc import _pow2_thresholds
+
+    m = bcsc.m
+
+    # --- collect every valid nonzero with its column-flat position ---------
+    rows_l, a_l, c_l, axflat_l = [], [], [], []
+    offsets = []
+    off = 0
+    for tile in bcsc.tiles:
+        rows = np.asarray(tile.rows)
+        K, L = rows.shape
+        lane = np.arange(L)[None, :]
+        valid = lane < np.asarray(tile.length)[:, None]
+        flat = off + np.arange(K * L).reshape(K, L)
+        rows_l.append(rows[valid])
+        a_l.append(np.asarray(tile.a)[valid])
+        c_l.append(np.asarray(tile.c)[valid])
+        axflat_l.append(flat[valid])
+        offsets.append(off)
+        off += K * L
+    ax_sentinel = off  # trailing zero appended to the ax concat
+    rows_all = np.concatenate(rows_l).astype(np.int64)
+    a_all = np.concatenate(a_l)
+    c_all = np.concatenate(c_l)
+    axflat_all = np.concatenate(axflat_l).astype(np.int64)
+
+    # --- order nonzeros by constraint row (stable: keeps column order) -----
+    order = np.argsort(rows_all, kind="stable")
+    rows_s = rows_all[order]
+    counts = np.bincount(rows_s, minlength=m)
+    nz_rows = np.nonzero(counts)[0]
+    row_starts = np.concatenate([[0], np.cumsum(counts[nz_rows])])
+
+    thresholds = _pow2_thresholds(int(counts.max()) if counts.size else 1)
+    bucket_of = np.searchsorted(thresholds, counts[nz_rows], side="left")
+
+    # z-vector flat positions: one (R*Lr) span per row bucket + sentinel
+    row_tiles: List[RowTile] = []
+    # position in the z concat for every sorted nonzero
+    zpos_sorted = np.empty(rows_s.size, dtype=np.int64)
+    # position of each present row's sum in the sums concat
+    sumpos = np.full(m, -1, dtype=np.int64)
+    zoff = 0
+    sumoff = 0
+    for b in range(1, len(thresholds)):
+        sel = np.nonzero(bucket_of == b)[0]  # indices into nz_rows
+        if sel.size == 0:
+            continue
+        R = sel.size
+        lens = counts[nz_rows[sel]].astype(np.int64)
+        Lr = int(lens.max())
+        a_t = np.zeros((R, Lr), dtype=a_all.dtype)
+        c_t = np.zeros((R, Lr), dtype=c_all.dtype)
+        axidx_t = np.full((R, Lr), ax_sentinel, dtype=np.int64)
+        row_ids_t = nz_rows[sel].astype(np.int32)
+        # vectorized ragged fill (same trick as bcsc._build_tile)
+        r_rep = np.repeat(np.arange(R), lens)
+        prefix = np.cumsum(lens) - lens
+        l_in_row = np.arange(int(lens.sum())) - prefix[r_rep]
+        sorted_pos = row_starts[sel][r_rep] + l_in_row  # index into the sorted nnz order
+        src = order[sorted_pos]
+        a_t[r_rep, l_in_row] = a_all[src]
+        c_t[r_rep, l_in_row] = c_all[src]
+        axidx_t[r_rep, l_in_row] = axflat_all[src]
+        zpos_sorted[sorted_pos] = zoff + r_rep * Lr + l_in_row
+        sumpos[nz_rows[sel]] = sumoff + np.arange(R)
+        row_tiles.append(
+            RowTile(
+                a=jnp.asarray(a_t),
+                c=jnp.asarray(c_t),
+                row_ids=jnp.asarray(row_ids_t),
+                axidx=jnp.asarray(axidx_t.astype(np.int32)),
+            )
+        )
+        zoff += R * Lr
+        sumoff += R
+    z_sentinel = zoff
+
+    # --- column-tile zidx: where each column slot's z lives in the z concat
+    zpos_all = np.empty(rows_all.size, dtype=np.int64)
+    zpos_all[order] = zpos_sorted
+    zidx: List[Array] = []
+    pos = 0
+    for tile in bcsc.tiles:
+        rows = np.asarray(tile.rows)
+        K, L = rows.shape
+        lane = np.arange(L)[None, :]
+        valid = lane < np.asarray(tile.length)[:, None]
+        zi = np.full((K, L), z_sentinel, dtype=np.int64)
+        nvalid = int(valid.sum())
+        zi[valid] = zpos_all[pos : pos + nvalid]
+        pos += nvalid
+        zidx.append(jnp.asarray(zi.astype(np.int32)))
+
+    # rows with no nonzeros point at the sums sentinel (zero gradient)
+    row_pos = np.where(sumpos >= 0, sumpos, sumoff).astype(np.int32)
+    return RowLayout(row_tiles=row_tiles, zidx=zidx, row_pos=jnp.asarray(row_pos))

@@ -1,0 +1,104 @@
+"""Dual-layout (row-major companion) gradient path: equivalence + golden trace.
+
+The row layout replaces the per-nnz dual gather and the segment_sum scatter
+with static permutation gathers (see ``dualip_tpu/sparse/rowmajor.py``); it
+must agree with the column/segment_sum path to fp32 reassociation tolerance
+and reproduce the Scala golden trace through the full solver.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dualip_tpu.objectives.matching import MatchingInputArgs, MatchingSolverDualObjectiveFunction
+from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+from dualip_tpu.projections import ProjectionEntry, create_projection_map
+from dualip_tpu.sparse import csc_from_dense
+
+from tests.objectives.test_dualip_matching_simplex import TRUE_VALUES, set_up_data_scala
+
+
+def _random_problem(rng, m, n, density=0.2):
+    dense = (rng.random((m, n)) < density) * rng.random((m, n)).astype(np.float32)
+    # ensure no empty column (empty cols are dropped identically by both paths
+    # anyway, but keep the comparison maximal)
+    empty = np.nonzero(dense.sum(axis=0) == 0)[0]
+    dense[rng.integers(0, m, size=empty.size), empty] = 0.5
+    A = csc_from_dense(dense)
+    C = csc_from_dense(np.where(dense != 0, -rng.random((m, n)).astype(np.float32), 0))
+    b = rng.random(m).astype(np.float32) * 3
+    return A, C, b
+
+
+@pytest.mark.parametrize("projection", ["simplex", "box"])
+def test_row_layout_matches_csc_layout(projection):
+    rng = np.random.default_rng(3)
+    m, n = 40, 300
+    A, C, b = _random_problem(rng, m, n)
+    if projection == "simplex":
+        pm = create_projection_map("simplex", {"z": 1.0}, n)
+    else:
+        pm = {
+            "bx": ProjectionEntry("box", {"lower": 0.0, "upper": 0.7}, list(range(n // 2))),
+            "cn": ProjectionEntry("cone", {"lower": 0.0}, list(range(n // 2, n))),
+        }
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_csc = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_row = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="row")
+
+    for seed in range(3):
+        lam = jnp.asarray(np.abs(np.random.default_rng(seed).normal(size=m)).astype(np.float32))
+        r1, r2 = o_csc.calculate(lam), o_row.calculate(lam)
+        g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+        scale = max(1.0, np.abs(g1).max())
+        assert np.allclose(g1, g2, atol=2e-5 * scale), np.abs(g1 - g2).max()
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=1e-5, atol=1e-4)
+        assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=1e-5, atol=1e-5)
+
+
+def test_row_layout_golden_trace():
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    obj = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec), gamma=1e-3, layout="row"
+    )
+    res = AcceleratedGradientDescent(max_iter=30, gamma=1e-3).maximize(
+        obj, jnp.asarray(0.1 * np.ones(5, np.float32))
+    )
+    for i, true_val in TRUE_VALUES:
+        assert abs(res.dual_objective_log[i - 1] - true_val) < 1e-5
+
+
+def test_row_layout_rejects_mesh_and_pallas():
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec)
+    with pytest.raises(ValueError):
+        MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="row", use_pallas=True)
+    with pytest.raises(ValueError):
+        MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="nope")
+
+
+def test_row_layout_handles_empty_rows_and_uneven_degrees():
+    # constraint rows with zero nonzeros must get gradient -b (sentinel path)
+    rng = np.random.default_rng(9)
+    m, n = 12, 50
+    dense = np.zeros((m, n), dtype=np.float32)
+    dense[: m - 3] = (rng.random((m - 3, n)) < 0.3) * rng.random((m - 3, n)).astype(np.float32)
+    dense[0, :] = rng.random(n).astype(np.float32)  # one very dense row
+    for j in range(n):  # no empty columns
+        if dense[:, j].sum() == 0:
+            dense[1, j] = 0.25
+    A = csc_from_dense(dense)
+    C = csc_from_dense(np.where(dense != 0, -rng.random((m, n)).astype(np.float32), 0))
+    b = np.ones(m, np.float32)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_csc = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_row = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="row")
+    lam = jnp.asarray(np.abs(rng.normal(size=m)).astype(np.float32))
+    g1 = np.asarray(o_csc.calculate(lam).dual_gradient)
+    g2 = np.asarray(o_row.calculate(lam).dual_gradient)
+    assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max()))
+    assert np.allclose(g2[m - 3 :], -b[m - 3 :])  # empty rows: grad = -b exactly

@@ -152,34 +152,64 @@ def matching_local_parts_rowmajor(
     TPU rationale).  Identical math to ``matching_local_parts``; the gradient
     accumulation order differs (per-row lane sums instead of segment_sum),
     within normal fp32 reassociation tolerance.
+
+    The row↔column carries run through per-nnz index gathers (``rl.zidx`` /
+    ``RowTile.axidx``) or, when the layout was built with
+    ``method="butterfly"``, through one Beneš plan forward and reverse
+    (``dualip_tpu/ops/butterfly.py`` — ~70× faster than the gathers on TPU).
     """
     dtype = dual_val.dtype
     neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
     scaled = neg_inv_gamma * dual_val  # (m,)
+    butterfly = rl.plan is not None
+    if butterfly:
+        from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu
+
+        def carry(vec, reverse):
+            if rl.use_tpu_kernel:
+                return apply_butterfly_tpu(rl.plan, vec, reverse=reverse)
+            return apply_butterfly(rl.plan, vec, reverse=reverse)
 
     # z in row layout: the dual value is constant per sublane — no per-nnz gather.
     z_parts = [
         rt.a * scaled[rt.row_ids][:, None] + neg_inv_gamma * rt.c for rt in rl.row_tiles
     ]
-    z_cat = jnp.concatenate(
-        [p.reshape(-1) for p in z_parts] + [jnp.zeros(1, dtype=dtype)]
-    )
+    sentinel = [] if butterfly else [jnp.zeros(1, dtype=dtype)]
+    z_cat = jnp.concatenate([p.reshape(-1) for p in z_parts] + sentinel)
+    if butterfly:
+        z_col_cat = carry(z_cat, reverse=False)
 
-    # permutation gather 1: z into column tiles; project; partials.
+    # carry 1 done: z now addressable per column tile; project; partials.
     dual_obj = jnp.zeros((), dtype=dtype)
     reg = jnp.zeros((), dtype=dtype)
     ax_parts = []
-    for tile, spec, zi in zip(bcsc.tiles, bcsc.specs, rl.zidx):
-        z = z_cat[zi]
+    off = 0
+    for i, (tile, spec) in enumerate(zip(bcsc.tiles, bcsc.specs)):
+        if butterfly:
+            K, L = tile.a.shape
+            z = z_col_cat[off : off + K * L].reshape(K, L)  # static slice
+            off += K * L
+        else:
+            z = z_cat[rl.zidx[i]]
         x = spec.projection()(z)
         x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
         ax_parts.append((tile.a * x).reshape(-1))
         reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
         dual_obj = dual_obj + jnp.sum(tile.c * x)
-    ax_cat = jnp.concatenate(ax_parts + [jnp.zeros(1, dtype=dtype)])
+    ax_cat = jnp.concatenate(ax_parts + sentinel)
 
-    # permutation gather 2: a·x into row tiles; dense lane reduction; (m,) gather.
-    sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
+    # carry 2: a·x back into row tiles; dense lane reduction; (m,) gather.
+    if butterfly:
+        ax_row_cat = carry(ax_cat, reverse=True)
+        sums = []
+        off = 0
+        for rt in rl.row_tiles:
+            R, Lr = rt.a.shape
+            blk = ax_row_cat[off : off + R * Lr].reshape(R, Lr)  # static slice
+            off += R * Lr
+            sums.append(jnp.sum(blk, axis=1))
+    else:
+        sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
     sums_cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
     grad = sums_cat[rl.row_pos]
     return grad, dual_obj, reg
@@ -273,10 +303,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         self.mesh = mesh
         self.use_pallas = use_pallas
         self.pallas_block_k = pallas_block_k
-        if layout not in ("csc", "row"):
-            raise ValueError(f"Unknown layout {layout!r} (expected 'csc' or 'row')")
-        if layout == "row" and (mesh is not None or use_pallas):
-            raise ValueError("layout='row' is single-device and exclusive with use_pallas")
+        if layout not in ("csc", "row", "butterfly"):
+            raise ValueError(
+                f"Unknown layout {layout!r} (expected 'csc', 'row' or 'butterfly')"
+            )
+        if layout != "csc" and (mesh is not None or use_pallas):
+            raise ValueError(f"layout={layout!r} is single-device and exclusive with use_pallas")
         self.layout = layout
 
         pad = 1
@@ -302,10 +334,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             dtype=dtype,
         )
         self.row_layout = None
-        if layout == "row":
+        if layout in ("row", "butterfly"):
             from dualip_tpu.sparse.rowmajor import build_row_layout
 
-            self.row_layout = build_row_layout(self.bcsc)  # host tiles
+            method = "butterfly" if layout == "butterfly" else "gather"
+            self.row_layout = build_row_layout(self.bcsc, method=method)  # host tiles
         if use_pallas:
             self.bcsc = transpose_tiles(self.bcsc)
             if mesh is not None:

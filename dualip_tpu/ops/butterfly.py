@@ -1,0 +1,275 @@
+"""Beneš butterfly engine: static permutations at VMEM speed on TPU.
+
+TPU has no gather/scatter hardware; XLA lowers ``x[perm]`` over millions of
+elements to a near-serial loop (measured ~5-25 ns/element).  A *static*
+permutation, however, is a Beneš network: ``2·log2(N)-1`` stages of paired
+exchanges at distances ``2^{n-1}, …, 2, 1, 2, …, 2^{n-1}``, each stage a
+*regular* roll + select — exactly what the VPU streams.  Measured on
+hardware: 0.069 ms for 512K elements in a single-VMEM Pallas kernel vs
+4.6 ms for the XLA gather of the same permutation (67×).
+
+Pieces:
+
+* ``benes_route(perm)`` — host-side routing: computes the per-stage swap
+  masks by the classic looping argument (recursive 2-coloring of the
+  alternating constraint cycles), fully vectorized in numpy via
+  pointer-doubling (O(N log² N), no Python-level cycle walking).
+* ``apply_butterfly(plan, x, reverse=False)`` — pure-jnp application (any
+  backend; used for tests and as the CPU path).
+* ``apply_butterfly_tpu(plan, x, reverse=False)`` — blocked TPU form:
+  stages with distance < block run inside one Pallas kernel per block
+  (whole chain in VMEM, masks DMA'd per stage); the few cross-block stages
+  run as jnp roll+select full passes (stream speed).
+* **Inverse for free**: the stage-distance sequence is a palindrome and
+  every stage is an involution, so applying the SAME masks in reverse stage
+  order applies ``perm⁻¹`` (``reverse=True``).  The matching hot loop needs
+  exactly a permutation and its inverse per iteration (row→col for z,
+  col→row for a·x), so one routing serves both.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@dataclass
+class BenesPlan:
+    """Routing of one static permutation (host-built, device-applied).
+
+    A pytree whose only leaf is ``masks``; the stage distances and valid
+    lengths are static aux data (they steer trace-time Python control flow).
+    """
+
+    dists: tuple  # (2n-1,) static stage distances: 2^{n-1}..2..1..2..2^{n-1}
+    masks: Array  # (2n-1, N) int8 — 1 where the pair at that stage swaps
+    n_in: int  # valid input length (inputs zero-padded to N)
+    n_out: int  # valid output length
+
+    def tree_flatten(self):
+        return (self.masks,), (self.dists, self.n_in, self.n_out)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dists, n_in, n_out = aux
+        return cls(dists=dists, masks=children[0], n_in=n_in, n_out=n_out)
+
+
+jax.tree_util.register_pytree_node(
+    BenesPlan, BenesPlan.tree_flatten, lambda aux, ch: BenesPlan.tree_unflatten(aux, ch)
+)
+
+
+def _components_min(h: np.ndarray) -> np.ndarray:
+    """Min element id over each orbit of permutation ``h`` (pointer doubling)."""
+    rep = np.arange(h.size, dtype=np.int64)
+    hk = h
+    steps = max(1, int(np.ceil(np.log2(max(h.size, 2)))) + 1)
+    for _ in range(steps):
+        rep = np.minimum(rep, rep[hk])
+        hk = hk[hk]
+    return rep
+
+
+def benes_route(
+    perm: np.ndarray, pad_to: int | None = None, n_in: int | None = None
+) -> BenesPlan:
+    """Route ``y = x_padded[perm]`` through a Beneš network.
+
+    ``perm`` maps output position → input position and must be injective;
+    inputs/outputs are zero-padded to the next power of two (spare slots are
+    routed as an arbitrary bijection completion, carrying zeros).  ``n_in``
+    pins the valid input length (default: ``perm.max() + 1``) — it sets the
+    truncation of ``reverse=True`` outputs.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    n_out = perm.size
+    if n_in is None:
+        n_in = int(perm.max()) + 1 if perm.size else 1
+    N = 1 << int(np.ceil(np.log2(max(n_out, n_in, 2))))
+    if pad_to is not None:
+        if pad_to < N:
+            raise ValueError(f"pad_to={pad_to} < required {N}")
+        N = pad_to
+        if N & (N - 1):
+            raise ValueError("pad_to must be a power of two")
+    n = N.bit_length() - 1
+
+    # complete to a bijection on N slots (spares carry zeros either way)
+    src = np.full(N, -1, dtype=np.int64)
+    src[:n_out] = perm
+    used = np.zeros(N, dtype=bool)
+    used[perm] = True
+    src[n_out:] = np.nonzero(~used)[0]
+
+    n_stages = 2 * n - 1
+    masks = np.zeros((n_stages, N), dtype=np.int8)
+    idx = np.arange(N, dtype=np.int64)
+
+    for t, b in enumerate(range(n - 1, 0, -1)):
+        D = np.int64(1) << b
+        inv = np.empty(N, dtype=np.int64)
+        inv[src] = idx
+        f = idx ^ D  # exit-switch partner (element ids == dest slots)
+        g = inv[src ^ D]  # entry-switch partner
+        h = g[f]  # jump-2 along the alternating constraint cycle
+        rep = _components_min(h)
+        # f maps each h-orbit to its parity complement; smaller-rep side = 0
+        color = (rep > rep[f]).astype(np.int64)
+        # entry stage swaps at source positions, exit stage at dest positions
+        j = src
+        m_entry = np.zeros(N, dtype=np.int8)
+        m_entry[j] = (((j >> b) & 1) != color).astype(np.int8)
+        m_exit = (((idx >> b) & 1) != color).astype(np.int8)
+        masks[t] = m_entry
+        masks[n_stages - 1 - t] = m_exit
+        # pin bit b: element for dest i now enters sub-network `color`
+        i2 = (idx & ~D) | (color << b)
+        j2 = (j & ~D) | (color << b)
+        new_src = np.empty(N, dtype=np.int64)
+        new_src[i2] = j2
+        src = new_src
+
+    # middle stage (distance 1): whatever disagreement remains is a pair swap
+    masks[n - 1] = (src != idx).astype(np.int8)
+
+    dists = tuple(1 << b for b in range(n - 1, 0, -1)) + (1,) + tuple(
+        1 << b for b in range(1, n)
+    )
+    return BenesPlan(dists=dists, masks=jnp.asarray(masks), n_in=n_in, n_out=n_out)
+
+
+def _stage_jnp(x: Array, mask: Array, d: int) -> Array:
+    """One butterfly stage on a flat (N,) vector (pure jnp)."""
+    N = x.shape[0]
+    bit = (jax.lax.broadcasted_iota(jnp.int32, (N,), 0) & d) != 0
+    fwd = jnp.roll(x, -d)
+    bwd = jnp.roll(x, d)
+    partner = jnp.where(bit, bwd, fwd)
+    return jnp.where(mask != 0, partner, x)
+
+
+def apply_butterfly(plan: BenesPlan, x: Array, reverse: bool = False) -> Array:
+    """Apply the permutation (or its inverse) with pure jnp stages."""
+    N = plan.masks.shape[1]
+    pad = N - x.shape[0]
+    v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
+    order = range(len(plan.dists))
+    if reverse:
+        order = reversed(order)
+    for s in order:
+        v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+    return v[: (plan.n_in if reverse else plan.n_out)]
+
+
+# ---------------------------------------------------------------------------
+# Blocked TPU form: Pallas kernel for the in-VMEM (fine) stages
+# ---------------------------------------------------------------------------
+
+DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
+
+
+def _fine_kernel(dists, R, C, x_ref, m_hbm, o_ref):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    blk = pl.program_id(0)
+
+    def body(scratch, sem):
+        x = x_ref[0]
+        for s, d in enumerate(dists):
+            cp = pltpu.make_async_copy(m_hbm.at[s, blk], scratch, sem)
+            cp.start()
+            cp.wait()
+            m = scratch[:] != 0
+            if d >= C:
+                dr = d // C
+                bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) & dr) != 0
+                fwd = pltpu.roll(x, R - dr, 0)
+                bwd = pltpu.roll(x, dr, 0)
+            else:
+                bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) & d) != 0
+                fwd = pltpu.roll(x, C - d, 1)
+                bwd = pltpu.roll(x, d, 1)
+            x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
+        o_ref[0] = x
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((R, C), jnp.int8),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def apply_butterfly_tpu(
+    plan: BenesPlan,
+    x: Array,
+    reverse: bool = False,
+    block_log2: int = DEFAULT_BLOCK_LOG2,
+    interpret: bool = False,
+) -> Array:
+    """Blocked application: fine stages in one Pallas kernel per block,
+    coarse (cross-block) stages as jnp roll+select full passes."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = plan.masks.shape[1]
+    n = N.bit_length() - 1
+    pad = N - x.shape[0]
+    v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
+
+    if N <= (1 << block_log2):
+        # whole vector fits one block: everything is fine-stage
+        fine = list(range(len(plan.dists)))
+        coarse_pre: List[int] = []
+        coarse_post: List[int] = []
+        bs = N
+    else:
+        bs = 1 << block_log2
+        # stage s is cross-block iff dist >= bs.  Layout of the palindrome:
+        # [n-1..block_log2] prefix and mirrored suffix are coarse.
+        n_coarse = n - block_log2
+        coarse_pre = list(range(n_coarse))
+        fine = list(range(n_coarse, len(plan.dists) - n_coarse))
+        coarse_post = list(range(len(plan.dists) - n_coarse, len(plan.dists)))
+
+    pre, post = coarse_pre, coarse_post
+    if reverse:
+        pre, post = list(reversed(coarse_post)), list(reversed(coarse_pre))
+
+    for s in pre:
+        v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+
+    # --- fine stages: Pallas, grid over blocks -----------------------------
+    fine_order = list(reversed(fine)) if reverse else fine
+    fine_dists = tuple(plan.dists[s] for s in fine_order)
+    nb = v.shape[0] // bs
+    R, C = bs // 128, 128
+    fine_masks = plan.masks[jnp.asarray(fine_order)].reshape(len(fine_order), nb, R, C)
+    kernel = functools.partial(_fine_kernel, fine_dists, R, C)
+    v = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # ANY-space blocks must cover the whole array; the kernel DMAs
+            # its (stage, block) mask slice itself via program_id.
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),
+        interpret=interpret,
+    )(v.reshape(nb, R, C), fine_masks).reshape(-1)
+
+    for s in post:
+        v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+
+    return v[: (plan.n_in if reverse else plan.n_out)]

@@ -43,7 +43,7 @@ nnz ordering; the mesh-sharded path keeps the psum/segment_sum formulation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, NamedTuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,36 +59,57 @@ class RowTile(NamedTuple):
     ``row_ids`` the global constraint-row id per sublane (clamped to 0 on
     padding rows — their ``a``/``c`` are zero so they contribute nothing);
     ``axidx`` the position of each slot's nonzero in the concatenated
-    column-tile ``a·x`` vector (sentinel on padding).
+    column-tile ``a·x`` vector (sentinel on padding; ``None`` in butterfly
+    mode, where the carry happens via the Beneš network instead).
     """
 
     a: Array  # (R, Lr)
     c: Array  # (R, Lr)
     row_ids: Array  # (R,) int32
-    axidx: Array  # (R, Lr) int32
+    axidx: Optional[Array]  # (R, Lr) int32 | None
 
 
 @dataclass
 class RowLayout:
     """Static companion indices for one BlockCSC (a JAX pytree).
 
-    ``zidx[t]`` has the column tile's (K, L) shape and indexes the
-    concatenated row-tile z vector (+ trailing sentinel zero); ``row_pos`` is
-    (m,) and indexes the concatenated per-row sums (+ sentinel) to assemble
-    the gradient.
+    Gather mode (``method="gather"``): ``zidx[t]`` has the column tile's
+    (K, L) shape and indexes the concatenated row-tile z vector (+ trailing
+    sentinel zero); ``RowTile.axidx`` carries a·x back.
+
+    Butterfly mode (``method="butterfly"``): ``plan`` is a ``BenesPlan``
+    routing row-space → col-space; the same plan applied in reverse carries
+    a·x back (no per-nnz index arrays at all).  ``col_slices``/``row_slices``
+    are the static (offset, shape) of each tile in the two concat spaces.
+
+    ``row_pos`` is (m,) and indexes the concatenated per-row sums
+    (+ sentinel) to assemble the gradient in both modes.
     """
 
     row_tiles: List[RowTile]
-    zidx: List[Array]
+    zidx: Optional[List[Array]]
     row_pos: Array  # (m,) int32
+    plan: Optional[object] = None  # BenesPlan
+    col_slices: Optional[List[tuple]] = None  # (offset, K, L) per column tile
+    use_tpu_kernel: bool = False
 
     def tree_flatten(self):
-        return (self.row_tiles, self.zidx, self.row_pos), ()
+        children = (self.row_tiles, self.zidx, self.row_pos, self.plan)
+        aux = (self.col_slices, self.use_tpu_kernel)
+        return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del aux
-        return cls(row_tiles=list(children[0]), zidx=list(children[1]), row_pos=children[2])
+        col_slices, use_tpu_kernel = aux
+        row_tiles, zidx, row_pos, plan = children
+        return cls(
+            row_tiles=list(row_tiles),
+            zidx=list(zidx) if zidx is not None else None,
+            row_pos=row_pos,
+            plan=plan,
+            col_slices=col_slices,
+            use_tpu_kernel=use_tpu_kernel,
+        )
 
 
 jax.tree_util.register_pytree_node(
@@ -96,12 +117,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_row_layout(bcsc) -> RowLayout:
+def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
     """Build the row-major companion of a (host-side) BlockCSC.
 
     Must run on the host tiles (before ``device_put_blockcsc``); all outputs
     are numpy and become device constants/arguments alongside the tiles.
+
+    ``method="gather"`` connects the two layouts with per-nnz index arrays
+    (XLA gathers); ``method="butterfly"`` routes one Beneš plan instead (the
+    fast TPU path — see ``dualip_tpu/ops/butterfly.py``).
     """
+    if method not in ("gather", "butterfly"):
+        raise ValueError(f"Unknown row-layout method {method!r}")
     from dualip_tpu.sparse.bcsc import _pow2_thresholds
 
     m = bcsc.m
@@ -173,16 +200,44 @@ def build_row_layout(bcsc) -> RowLayout:
                 a=jnp.asarray(a_t),
                 c=jnp.asarray(c_t),
                 row_ids=jnp.asarray(row_ids_t),
-                axidx=jnp.asarray(axidx_t.astype(np.int32)),
+                axidx=jnp.asarray(axidx_t.astype(np.int32)) if method == "gather" else None,
             )
         )
         zoff += R * Lr
         sumoff += R
     z_sentinel = zoff
 
-    # --- column-tile zidx: where each column slot's z lives in the z concat
+    # rows with no nonzeros point at the sums sentinel (zero gradient)
+    row_pos = np.where(sumpos >= 0, sumpos, sumoff).astype(np.int32)
+
     zpos_all = np.empty(rows_all.size, dtype=np.int64)
     zpos_all[order] = zpos_sorted
+
+    if method == "butterfly":
+        from dualip_tpu.ops.butterfly import benes_route
+
+        col_total = ax_sentinel  # = Σ K·L over column tiles
+        row_total = zoff  # = Σ R·Lr over row tiles
+        N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
+        # σ: row-space → col-space; col padding slots pull zeros from unused
+        # row-space / pad slots (bijection completion).
+        perm = np.full(col_total, -1, dtype=np.int64)
+        perm[axflat_all] = zpos_all
+        missing = np.nonzero(perm < 0)[0]
+        used = np.zeros(N, dtype=bool)
+        used[zpos_all] = True
+        spare = np.nonzero(~used)[0]
+        perm[missing] = spare[: missing.size]
+        plan = benes_route(perm, pad_to=N, n_in=row_total)
+        return RowLayout(
+            row_tiles=row_tiles,
+            zidx=None,
+            row_pos=jnp.asarray(row_pos),
+            plan=plan,
+            use_tpu_kernel=jax.default_backend() == "tpu",
+        )
+
+    # --- gather mode: column-tile zidx (where each column slot's z lives) --
     zidx: List[Array] = []
     pos = 0
     for tile in bcsc.tiles:
@@ -196,6 +251,4 @@ def build_row_layout(bcsc) -> RowLayout:
         pos += nvalid
         zidx.append(jnp.asarray(zi.astype(np.int32)))
 
-    # rows with no nonzeros point at the sums sentinel (zero gradient)
-    row_pos = np.where(sumpos >= 0, sumpos, sumoff).astype(np.int32)
     return RowLayout(row_tiles=row_tiles, zidx=zidx, row_pos=jnp.asarray(row_pos))

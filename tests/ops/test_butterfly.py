@@ -1,0 +1,76 @@
+"""Beneš butterfly engine: routing exactness, inverse-by-reversal, blocked form."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu, benes_route
+
+
+@pytest.mark.parametrize("n,seed", [(2, 0), (8, 1), (64, 2), (100, 3), (1024, 4), (5000, 5)])
+def test_routing_exact(n, seed):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    y = np.asarray(apply_butterfly(plan, x))
+    np.testing.assert_array_equal(y, np.asarray(x)[perm])
+
+
+@pytest.mark.parametrize("n,seed", [(64, 0), (1000, 1), (4096, 2)])
+def test_reverse_applies_inverse(n, seed):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    y = apply_butterfly(plan, x)  # y = x[perm]
+    back = np.asarray(apply_butterfly(plan, y, reverse=True))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_injective_subselection():
+    # n_out < n_in: gather a permuted subset; reverse scatters it back (zeros
+    # elsewhere)
+    rng = np.random.default_rng(7)
+    n_in, n_out = 300, 120
+    sel = rng.permutation(n_in)[:n_out]
+    plan = benes_route(sel)
+    x = jnp.asarray(rng.normal(size=n_in).astype(np.float32))
+    y = np.asarray(apply_butterfly(plan, x))
+    np.testing.assert_array_equal(y, np.asarray(x)[sel])
+    back = np.asarray(apply_butterfly(plan, jnp.asarray(y), reverse=True))
+    expect = np.zeros(n_in, np.float32)
+    expect[sel] = np.asarray(x)[sel]
+    np.testing.assert_array_equal(back, expect)
+
+
+@pytest.mark.parametrize("n,block_log2", [(4096, 9), (100_000, 12), (1 << 15, 15)])
+def test_blocked_tpu_form_matches(n, block_log2):
+    # interpret mode on CPU; exercises coarse jnp stages + the Pallas fine
+    # kernel, both directions
+    rng = np.random.default_rng(11)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    y = np.asarray(
+        apply_butterfly_tpu(plan, x, block_log2=block_log2, interpret=True)
+    )
+    np.testing.assert_array_equal(y, np.asarray(x)[perm])
+    back = np.asarray(
+        apply_butterfly_tpu(plan, jnp.asarray(y), reverse=True, block_log2=block_log2, interpret=True)
+    )
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_pad_to_and_errors():
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(20)
+    plan = benes_route(perm, pad_to=64)
+    assert plan.masks.shape[1] == 64
+    x = jnp.asarray(rng.normal(size=20).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(apply_butterfly(plan, x)), np.asarray(x)[perm])
+    with pytest.raises(ValueError):
+        benes_route(perm, pad_to=16)
+    with pytest.raises(ValueError):
+        benes_route(perm, pad_to=48)

@@ -102,3 +102,34 @@ def test_row_layout_handles_empty_rows_and_uneven_degrees():
     g2 = np.asarray(o_row.calculate(lam).dual_gradient)
     assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max()))
     assert np.allclose(g2[m - 3 :], -b[m - 3 :])  # empty rows: grad = -b exactly
+
+
+def test_butterfly_layout_matches_csc_layout():
+    rng = np.random.default_rng(13)
+    m, n = 40, 300
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_csc = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_bf = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="butterfly")
+    for seed in range(3):
+        lam = jnp.asarray(np.abs(np.random.default_rng(seed).normal(size=m)).astype(np.float32))
+        r1, r2 = o_csc.calculate(lam), o_bf.calculate(lam)
+        g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+        assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max())), np.abs(g1 - g2).max()
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=1e-5, atol=1e-4)
+
+
+def test_butterfly_layout_golden_trace():
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    obj = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec),
+        gamma=1e-3,
+        layout="butterfly",
+    )
+    res = AcceleratedGradientDescent(max_iter=30, gamma=1e-3).maximize(
+        obj, jnp.asarray(0.1 * np.ones(5, np.float32))
+    )
+    for i, true_val in TRUE_VALUES:
+        assert abs(res.dual_objective_log[i - 1] - true_val) < 1e-5

@@ -175,36 +175,26 @@ def apply_butterfly(plan: BenesPlan, x: Array, reverse: bool = False) -> Array:
 DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
 
 
-def _fine_kernel(dists, R, C, x_ref, m_hbm, o_ref):
-    from jax.experimental import pallas as pl
+def _fine_kernel(dists, R, C, x_ref, m_ref, o_ref):
+    """All fine stages for one block; masks arrive as one pipelined VMEM
+    block (Pallas double-buffers the copy against the previous block's
+    compute — per-stage DMA waits measured ~25 ms/iter of pure latency)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    blk = pl.program_id(0)
-
-    def body(scratch, sem):
-        x = x_ref[0]
-        for s, d in enumerate(dists):
-            cp = pltpu.make_async_copy(m_hbm.at[s, blk], scratch, sem)
-            cp.start()
-            cp.wait()
-            m = scratch[:] != 0
-            if d >= C:
-                dr = d // C
-                bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) & dr) != 0
-                fwd = pltpu.roll(x, R - dr, 0)
-                bwd = pltpu.roll(x, dr, 0)
-            else:
-                bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) & d) != 0
-                fwd = pltpu.roll(x, C - d, 1)
-                bwd = pltpu.roll(x, d, 1)
-            x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
-        o_ref[0] = x
-
-    pl.run_scoped(
-        body,
-        scratch=pltpu.VMEM((R, C), jnp.int8),
-        sem=pltpu.SemaphoreType.DMA(()),
-    )
+    x = x_ref[0]
+    for s, d in enumerate(dists):
+        m = m_ref[s, 0] != 0
+        if d >= C:
+            dr = d // C
+            bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) & dr) != 0
+            fwd = pltpu.roll(x, R - dr, 0)
+            bwd = pltpu.roll(x, dr, 0)
+        else:
+            bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) & d) != 0
+            fwd = pltpu.roll(x, C - d, 1)
+            bwd = pltpu.roll(x, d, 1)
+        x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
+    o_ref[0] = x
 
 
 def apply_butterfly_tpu(
@@ -260,9 +250,9 @@ def apply_butterfly_tpu(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            # ANY-space blocks must cover the whole array; the kernel DMAs
-            # its (stage, block) mask slice itself via program_id.
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (len(fine_order), 1, R, C), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),

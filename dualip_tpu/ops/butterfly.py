@@ -66,11 +66,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _components_min(h: np.ndarray) -> np.ndarray:
-    """Min element id over each orbit of permutation ``h`` (pointer doubling)."""
-    rep = np.arange(h.size, dtype=np.int64)
+def _components_min(h: np.ndarray, max_cycle_log2: int | None = None) -> np.ndarray:
+    """Min element id over each orbit of permutation ``h`` (pointer doubling).
+
+    ``max_cycle_log2`` bounds the orbit length (2^k): pointer doubling covers
+    an orbit of length <= 2^k in k+1 steps, so callers that know their cycles
+    are block-confined can skip most of the log2(N)+1 default passes.
+    """
+    rep = np.arange(h.size, dtype=np.int32)
     hk = h
-    steps = max(1, int(np.ceil(np.log2(max(h.size, 2)))) + 1)
+    if max_cycle_log2 is None:
+        max_cycle_log2 = int(np.ceil(np.log2(max(h.size, 2))))
+    steps = max(1, max_cycle_log2 + 1)
     for _ in range(steps):
         rep = np.minimum(rep, rep[hk])
         hk = hk[hk]
@@ -102,7 +109,7 @@ def benes_route(
     n = N.bit_length() - 1
 
     # complete to a bijection on N slots (spares carry zeros either way)
-    src = np.full(N, -1, dtype=np.int64)
+    src = np.full(N, -1, dtype=np.int32)
     src[:n_out] = perm
     used = np.zeros(N, dtype=bool)
     used[perm] = True
@@ -110,18 +117,20 @@ def benes_route(
 
     n_stages = 2 * n - 1
     masks = np.zeros((n_stages, N), dtype=np.int8)
-    idx = np.arange(N, dtype=np.int64)
+    idx = np.arange(N, dtype=np.int32)
 
     for t, b in enumerate(range(n - 1, 0, -1)):
-        D = np.int64(1) << b
-        inv = np.empty(N, dtype=np.int64)
+        D = np.int32(1) << b
+        inv = np.empty(N, dtype=np.int32)
         inv[src] = idx
         f = idx ^ D  # exit-switch partner (element ids == dest slots)
         g = inv[src ^ D]  # entry-switch partner
         h = g[f]  # jump-2 along the alternating constraint cycle
-        rep = _components_min(h)
+        # Bits above b are pinned by earlier stages, so h only permutes within
+        # independent blocks of 2^(b+1) slots — cycles can't be longer.
+        rep = _components_min(h, max_cycle_log2=b + 1)
         # f maps each h-orbit to its parity complement; smaller-rep side = 0
-        color = (rep > rep[f]).astype(np.int64)
+        color = (rep > rep[f]).astype(np.int32)
         # entry stage swaps at source positions, exit stage at dest positions
         j = src
         m_entry = np.zeros(N, dtype=np.int8)
@@ -132,7 +141,7 @@ def benes_route(
         # pin bit b: element for dest i now enters sub-network `color`
         i2 = (idx & ~D) | (color << b)
         j2 = (j & ~D) | (color << b)
-        new_src = np.empty(N, dtype=np.int64)
+        new_src = np.empty(N, dtype=np.int32)
         new_src[i2] = j2
         src = new_src
 

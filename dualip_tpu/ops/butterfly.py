@@ -184,14 +184,108 @@ def apply_butterfly(plan: BenesPlan, x: Array, reverse: bool = False) -> Array:
 DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
 
 
-def _fine_kernel(dists, R, C, x_ref, m_ref, o_ref):
+@dataclass
+class BenesPlanPacked:
+    """TPU-ready split of a ``BenesPlan`` at a fixed block size.
+
+    Built ONCE (``pack_plan``); holds the fine-stage masks already permuted
+    and reshaped to the (S_f, nb, R, C) form the Pallas kernel streams, so
+    the per-iteration apply does no index shuffling on the 100MB-scale mask
+    array (leaving that inside the compiled loop costs a full materialized
+    copy per application).  The palindrome property means ONE buffer serves
+    forward and reverse: reverse iterates the same stages backwards.
+    """
+
+    fine_dists: tuple  # static, forward order
+    coarse_pre: tuple  # static (dist, ...) forward order
+    coarse_post: tuple
+    fine_masks: Array  # (S_f, nb, R, C) int8
+    coarse_pre_masks: Array  # (n_coarse, N) int8
+    coarse_post_masks: Array  # (n_coarse, N) int8
+    N: int
+    n_in: int
+    n_out: int
+    block_log2: int
+
+    def tree_flatten(self):
+        return (self.fine_masks, self.coarse_pre_masks, self.coarse_post_masks), (
+            self.fine_dists,
+            self.coarse_pre,
+            self.coarse_post,
+            self.N,
+            self.n_in,
+            self.n_out,
+            self.block_log2,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fine_dists, coarse_pre, coarse_post, N, n_in, n_out, block_log2 = aux
+        fine_masks, coarse_pre_masks, coarse_post_masks = children
+        return cls(
+            fine_dists=fine_dists,
+            coarse_pre=coarse_pre,
+            coarse_post=coarse_post,
+            fine_masks=fine_masks,
+            coarse_pre_masks=coarse_pre_masks,
+            coarse_post_masks=coarse_post_masks,
+            N=N,
+            n_in=n_in,
+            n_out=n_out,
+            block_log2=block_log2,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    BenesPlanPacked,
+    BenesPlanPacked.tree_flatten,
+    lambda aux, ch: BenesPlanPacked.tree_unflatten(aux, ch),
+)
+
+
+def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPlanPacked:
+    """Split a routed plan into coarse/fine stage groups for the TPU apply."""
+    N = plan.masks.shape[1]
+    n = N.bit_length() - 1
+    masks = np.asarray(plan.masks)
+    if N <= (1 << block_log2):
+        fine = list(range(len(plan.dists)))
+        pre: List[int] = []
+        post: List[int] = []
+        bs = N
+    else:
+        bs = 1 << block_log2
+        n_coarse = n - block_log2
+        pre = list(range(n_coarse))
+        fine = list(range(n_coarse, len(plan.dists) - n_coarse))
+        post = list(range(len(plan.dists) - n_coarse, len(plan.dists)))
+    nb = N // bs
+    R, C = bs // 128, 128
+    return BenesPlanPacked(
+        fine_dists=tuple(plan.dists[s] for s in fine),
+        coarse_pre=tuple(plan.dists[s] for s in pre),
+        coarse_post=tuple(plan.dists[s] for s in post),
+        fine_masks=jnp.asarray(masks[fine].reshape(len(fine), nb, R, C)),
+        coarse_pre_masks=jnp.asarray(masks[pre].copy()),
+        coarse_post_masks=jnp.asarray(masks[post].copy()),
+        N=N,
+        n_in=plan.n_in,
+        n_out=plan.n_out,
+        block_log2=block_log2,
+    )
+
+
+def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
     """All fine stages for one block; masks arrive as one pipelined VMEM
     block (Pallas double-buffers the copy against the previous block's
-    compute — per-stage DMA waits measured ~25 ms/iter of pure latency)."""
+    compute — per-stage DMA waits measured ~25 ms/iter of pure latency).
+    ``reverse`` walks the SAME mask buffer backwards (palindrome network +
+    involution stages = inverse permutation)."""
     from jax.experimental.pallas import tpu as pltpu
 
     x = x_ref[0]
-    for s, d in enumerate(dists):
+    order = reversed(list(enumerate(dists))) if reverse else enumerate(dists)
+    for s, d in order:
         m = m_ref[s, 0] != 0
         if d >= C:
             dr = d // C
@@ -207,68 +301,54 @@ def _fine_kernel(dists, R, C, x_ref, m_ref, o_ref):
 
 
 def apply_butterfly_tpu(
-    plan: BenesPlan,
+    plan: "BenesPlan | BenesPlanPacked",
     x: Array,
     reverse: bool = False,
     block_log2: int = DEFAULT_BLOCK_LOG2,
     interpret: bool = False,
 ) -> Array:
     """Blocked application: fine stages in one Pallas kernel per block,
-    coarse (cross-block) stages as jnp roll+select full passes."""
+    coarse (cross-block) stages as jnp roll+select full passes.
+
+    Prefer passing a ``BenesPlanPacked`` (``pack_plan``) — packing inside a
+    compiled iteration loop costs a materialized copy of the (100 MB-scale)
+    mask array per application."""
     import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N = plan.masks.shape[1]
-    n = N.bit_length() - 1
+    if not isinstance(plan, BenesPlanPacked):
+        plan = pack_plan(plan, block_log2=block_log2)
+    N = plan.N
     pad = N - x.shape[0]
     v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
 
-    if N <= (1 << block_log2):
-        # whole vector fits one block: everything is fine-stage
-        fine = list(range(len(plan.dists)))
-        coarse_pre: List[int] = []
-        coarse_post: List[int] = []
-        bs = N
-    else:
-        bs = 1 << block_log2
-        # stage s is cross-block iff dist >= bs.  Layout of the palindrome:
-        # [n-1..block_log2] prefix and mirrored suffix are coarse.
-        n_coarse = n - block_log2
-        coarse_pre = list(range(n_coarse))
-        fine = list(range(n_coarse, len(plan.dists) - n_coarse))
-        coarse_post = list(range(len(plan.dists) - n_coarse, len(plan.dists)))
-
-    pre, post = coarse_pre, coarse_post
+    pre_d, pre_m = plan.coarse_pre, plan.coarse_pre_masks
+    post_d, post_m = plan.coarse_post, plan.coarse_post_masks
     if reverse:
-        pre, post = list(reversed(coarse_post)), list(reversed(coarse_pre))
+        pre_d, pre_m = plan.coarse_post[::-1], plan.coarse_post_masks[::-1]
+        post_d, post_m = plan.coarse_pre[::-1], plan.coarse_pre_masks[::-1]
 
-    for s in pre:
-        v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+    for i, d in enumerate(pre_d):
+        v = _stage_jnp(v, pre_m[i], d)
 
     # --- fine stages: Pallas, grid over blocks -----------------------------
-    fine_order = list(reversed(fine)) if reverse else fine
-    fine_dists = tuple(plan.dists[s] for s in fine_order)
-    nb = v.shape[0] // bs
-    R, C = bs // 128, 128
-    fine_masks = plan.masks[jnp.asarray(fine_order)].reshape(len(fine_order), nb, R, C)
-    kernel = functools.partial(_fine_kernel, fine_dists, R, C)
+    S_f, nb, R, C = plan.fine_masks.shape
+    kernel = functools.partial(_fine_kernel, plan.fine_dists, R, C, reverse)
     v = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (len(fine_order), 1, R, C), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((S_f, 1, R, C), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),
         interpret=interpret,
-    )(v.reshape(nb, R, C), fine_masks).reshape(-1)
+    )(v.reshape(nb, R, C), plan.fine_masks).reshape(-1)
 
-    for s in post:
-        v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+    for i, d in enumerate(post_d):
+        v = _stage_jnp(v, post_m[i], d)
 
     return v[: (plan.n_in if reverse else plan.n_out)]

@@ -214,7 +214,7 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
     zpos_all[order] = zpos_sorted
 
     if method == "butterfly":
-        from dualip_tpu.ops.butterfly import benes_route
+        from dualip_tpu.ops.butterfly import benes_route, pack_plan
 
         col_total = ax_sentinel  # = Σ K·L over column tiles
         row_total = zoff  # = Σ R·Lr over row tiles
@@ -229,12 +229,18 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
         spare = np.nonzero(~used)[0]
         perm[missing] = spare[: missing.size]
         plan = benes_route(perm, pad_to=N, n_in=row_total)
+        use_tpu_kernel = jax.default_backend() == "tpu"
+        if use_tpu_kernel:
+            # Pre-split masks into the coarse/fine form the kernel streams;
+            # packing inside the iteration loop would copy the (100 MB-scale)
+            # mask array on every application.
+            plan = pack_plan(plan)
         return RowLayout(
             row_tiles=row_tiles,
             zidx=None,
             row_pos=jnp.asarray(row_pos),
             plan=plan,
-            use_tpu_kernel=jax.default_backend() == "tpu",
+            use_tpu_kernel=use_tpu_kernel,
         )
 
     # --- gather mode: column-tile zidx (where each column slot's z lives) --

@@ -63,6 +63,23 @@ def test_blocked_tpu_form_matches(n, block_log2):
     np.testing.assert_array_equal(back, np.asarray(x))
 
 
+@pytest.mark.parametrize("n,block_log2", [(4096, 9), (100_000, 12)])
+def test_packed_plan_matches(n, block_log2):
+    # pre-packed masks (the form the solver ships to device) give identical
+    # results to on-the-fly packing, both directions
+    from dualip_tpu.ops.butterfly import pack_plan
+
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    packed = pack_plan(plan, block_log2=block_log2)
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    y = np.asarray(apply_butterfly_tpu(packed, x, interpret=True))
+    np.testing.assert_array_equal(y, np.asarray(x)[perm])
+    back = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(y), reverse=True, interpret=True))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
 def test_pad_to_and_errors():
     rng = np.random.default_rng(3)
     perm = rng.permutation(20)

@@ -188,20 +188,23 @@ DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
 class BenesPlanPacked:
     """TPU-ready split of a ``BenesPlan`` at a fixed block size.
 
-    Built ONCE (``pack_plan``); holds the fine-stage masks already permuted
-    and reshaped to the (S_f, nb, R, C) form the Pallas kernel streams, so
-    the per-iteration apply does no index shuffling on the 100MB-scale mask
-    array (leaving that inside the compiled loop costs a full materialized
-    copy per application).  The palindrome property means ONE buffer serves
-    forward and reverse: reverse iterates the same stages backwards.
+    Built ONCE (``pack_plan``); holds the fine-stage masks already permuted,
+    reshaped to the (·, nb, R, C) form the Pallas kernel streams, and
+    **bit-packed 8 stages per byte** (stage s lives in bit ``s & 7`` of plane
+    ``s >> 3``): unpacked, mask traffic is S bytes per element per apply —
+    8-9x the payload itself.  The per-iteration apply does no index shuffling
+    on the 100MB-scale mask array (leaving that inside the compiled loop
+    costs a full materialized copy per application).  The palindrome property
+    means ONE buffer serves forward and reverse: reverse iterates the same
+    stages backwards.
     """
 
     fine_dists: tuple  # static, forward order
     coarse_pre: tuple  # static (dist, ...) forward order
     coarse_post: tuple
-    fine_masks: Array  # (S_f, nb, R, C) int8
-    coarse_pre_masks: Array  # (n_coarse, N) int8
-    coarse_post_masks: Array  # (n_coarse, N) int8
+    fine_masks: Array  # (ceil(S_f/8), nb, R, C) uint8 bit-planes
+    coarse_pre_masks: Array  # (ceil(n_coarse/8), N) uint8 bit-planes
+    coarse_post_masks: Array  # (ceil(n_coarse/8), N) uint8 bit-planes
     N: int
     n_in: int
     n_out: int
@@ -243,6 +246,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _packbits_stages(m: np.ndarray) -> np.ndarray:
+    """(S, X) masks → (ceil(S/8), X) uint8 bit-planes, stage s → bit s&7 of plane s>>3."""
+    S = m.shape[0]
+    out = np.zeros(((S + 7) // 8, m.shape[1]), dtype=np.uint8)
+    for s in range(S):
+        out[s >> 3] |= (m[s] != 0).astype(np.uint8) << (s & 7)
+    return out
+
+
 def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPlanPacked:
     """Split a routed plan into coarse/fine stage groups for the TPU apply."""
     N = plan.masks.shape[1]
@@ -265,9 +277,9 @@ def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPla
         fine_dists=tuple(plan.dists[s] for s in fine),
         coarse_pre=tuple(plan.dists[s] for s in pre),
         coarse_post=tuple(plan.dists[s] for s in post),
-        fine_masks=jnp.asarray(masks[fine].reshape(len(fine), nb, R, C)),
-        coarse_pre_masks=jnp.asarray(masks[pre].copy()),
-        coarse_post_masks=jnp.asarray(masks[post].copy()),
+        fine_masks=jnp.asarray(_packbits_stages(masks[fine]).reshape(-1, nb, R, C)),
+        coarse_pre_masks=jnp.asarray(_packbits_stages(masks[pre])),
+        coarse_post_masks=jnp.asarray(_packbits_stages(masks[post])),
         N=N,
         n_in=plan.n_in,
         n_out=plan.n_out,
@@ -286,7 +298,8 @@ def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
     x = x_ref[0]
     order = reversed(list(enumerate(dists))) if reverse else enumerate(dists)
     for s, d in order:
-        m = m_ref[s, 0] != 0
+        # bit-planes: stage s = bit s&7 of uint8 plane s>>3 (widen for the AND)
+        m = (m_ref[s >> 3, 0].astype(jnp.int32) & (1 << (s & 7))) != 0
         if d >= C:
             dr = d // C
             bit = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) & dr) != 0
@@ -300,6 +313,52 @@ def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
     o_ref[0] = x
 
 
+def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
+    """All cross-block stages of one side, fused over a column strip.
+
+    Flat index ``i_blk*bs + j``: a stage at distance ``q*bs`` pairs element
+    ``(i_blk, j)`` with ``(i_blk ^ q, j)`` — a pure row exchange.  One strip
+    ``V[:, j0:j0+w]`` therefore sees ALL coarse stages of its side in VMEM;
+    previously each stage was its own roll+select full HBM pass.  ``steps``
+    is a static tuple of (mask_row, q) in execution order (reverse traversal
+    is encoded here, so the mask array never needs flipping on device)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[...]
+    w = x.shape[1]
+    for s, q in steps:
+        m = (m_ref[s >> 3].astype(jnp.int32) & (1 << (s & 7))) != 0
+        bit = (jax.lax.broadcasted_iota(jnp.int32, (nb, w), 0) & q) != 0
+        fwd = pltpu.roll(x, nb - q, 0)
+        bwd = pltpu.roll(x, q, 0)
+        x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
+    o_ref[...] = x
+
+
+def _apply_coarse(v, masks, steps, nb, bs, interpret):
+    """Run one fused coarse pass: ``v`` flat (N,), ``masks`` (S_c, N) int8."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = min(bs, 2048)
+    grid = bs // w
+    kernel = functools.partial(_coarse_kernel, steps, nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((nb, w), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((masks.shape[0], nb, w), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, w), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, bs), v.dtype),
+        interpret=interpret,
+    )(v.reshape(nb, bs), masks.reshape(masks.shape[0], nb, bs))
+    return out.reshape(-1)
+
+
 def apply_butterfly_tpu(
     plan: "BenesPlan | BenesPlanPacked",
     x: Array,
@@ -308,7 +367,8 @@ def apply_butterfly_tpu(
     interpret: bool = False,
 ) -> Array:
     """Blocked application: fine stages in one Pallas kernel per block,
-    coarse (cross-block) stages as jnp roll+select full passes.
+    coarse (cross-block) stages in one fused Pallas pass per side — three
+    HBM passes total regardless of N.
 
     Prefer passing a ``BenesPlanPacked`` (``pack_plan``) — packing inside a
     compiled iteration loop costs a materialized copy of the (100 MB-scale)
@@ -324,14 +384,18 @@ def apply_butterfly_tpu(
     pad = N - x.shape[0]
     v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
 
-    pre_d, pre_m = plan.coarse_pre, plan.coarse_pre_masks
-    post_d, post_m = plan.coarse_post, plan.coarse_post_masks
+    bs = min(N, 1 << plan.block_log2)
+    nb = N // bs
+    # (mask_row, q) per stage, execution order; q = dist in whole blocks
+    pre_steps = tuple((i, d // bs) for i, d in enumerate(plan.coarse_pre))
+    post_steps = tuple((i, d // bs) for i, d in enumerate(plan.coarse_post))
+    pre_m, post_m = plan.coarse_pre_masks, plan.coarse_post_masks
     if reverse:
-        pre_d, pre_m = plan.coarse_post[::-1], plan.coarse_post_masks[::-1]
-        post_d, post_m = plan.coarse_pre[::-1], plan.coarse_pre_masks[::-1]
+        pre_steps, post_steps = post_steps[::-1], pre_steps[::-1]
+        pre_m, post_m = post_m, pre_m
 
-    for i, d in enumerate(pre_d):
-        v = _stage_jnp(v, pre_m[i], d)
+    if pre_steps:
+        v = _apply_coarse(v, pre_m, pre_steps, nb, bs, interpret)
 
     # --- fine stages: Pallas, grid over blocks -----------------------------
     S_f, nb, R, C = plan.fine_masks.shape
@@ -348,7 +412,7 @@ def apply_butterfly_tpu(
         interpret=interpret,
     )(v.reshape(nb, R, C), plan.fine_masks).reshape(-1)
 
-    for i, d in enumerate(post_d):
-        v = _stage_jnp(v, post_m[i], d)
+    if post_steps:
+        v = _apply_coarse(v, post_m, post_steps, nb, bs, interpret)
 
     return v[: (plan.n_in if reverse else plan.n_out)]

@@ -72,13 +72,20 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
             for k, e in args.projection_map.items()
         }
 
+    import jax
+
+    # Default to the butterfly layout on TPU (measured ~38x the csc layout's
+    # iteration rate at this workload: no per-nnz gather/scatter, fused
+    # projection — docs/performance.md).  csc elsewhere: the butterfly path's
+    # Pallas kernels run in slow interpret mode off-TPU.
+    default_layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
     t0 = time.perf_counter()
     obj = MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
         keep_flat_idx=False,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
-        layout=os.environ.get("DUALIP_BENCH_LAYOUT", "csc"),
+        layout=os.environ.get("DUALIP_BENCH_LAYOUT", default_layout),
     )
     build_s = time.perf_counter() - t0
 

@@ -145,7 +145,7 @@ def matching_local_parts_pallas(
 
 
 def matching_local_parts_rowmajor(
-    bcsc: BlockCSC, rl, dual_val: Array, gamma
+    bcsc: BlockCSC, rl, dual_val: Array, gamma, block_k: int = 1024
 ) -> Tuple[Array, Array, Array]:
     """Scatter/gather-free (grad, dual_obj, reg) via the row-major companion
     layout (``dualip_tpu/sparse/rowmajor.py`` — see its docstring for the
@@ -176,26 +176,45 @@ def matching_local_parts_rowmajor(
     ]
     sentinel = [] if butterfly else [jnp.zeros(1, dtype=dtype)]
     z_cat = jnp.concatenate([p.reshape(-1) for p in z_parts] + sentinel)
-    if butterfly:
-        z_col_cat = carry(z_cat, reverse=False)
 
-    # carry 1 done: z now addressable per column tile; project; partials.
+    # carry 1: z into column space; project; partials.
     dual_obj = jnp.zeros((), dtype=dtype)
     reg = jnp.zeros((), dtype=dtype)
     ax_parts = []
-    off = 0
-    for i, (tile, spec) in enumerate(zip(bcsc.tiles, bcsc.specs)):
-        if butterfly:
-            K, L = tile.a.shape
-            z = z_col_cat[off : off + K * L].reshape(K, L)  # static slice
+    if butterfly:
+        # The carry delivers z in (L, K)-transposed tile order, the exact
+        # shape the fused Pallas kernel streams: Proj + a·x + Σc·x/Σx² in one
+        # VMEM-resident pass per block — no λ gather, no z recompute, and the
+        # 50-step bisection never re-reads HBM (see ops/pallas_matching.py).
+        from dualip_tpu.ops.pallas_matching import fused_tile_eval_T_from_z
+
+        z_col_cat = carry(z_cat, reverse=False)
+        off = 0
+        for ct, spec in zip(rl.col_tiles_T, bcsc.specs):
+            L, K = ct.a.shape
+            z = z_col_cat[off : off + K * L].reshape(L, K)  # static slice
             off += K * L
-        else:
+            ax, obj_p, reg_p = fused_tile_eval_T_from_z(
+                z,
+                ct.a,
+                ct.c,
+                ct.length,
+                spec.proj_type,
+                spec.proj_params,
+                block_k=min(block_k, K),
+                interpret=not rl.use_tpu_kernel,
+            )
+            ax_parts.append(ax.reshape(-1))
+            dual_obj = dual_obj + obj_p.astype(dtype)
+            reg = reg + (jnp.asarray(gamma, dtype) / 2) * reg_p.astype(dtype)
+    else:
+        for i, (tile, spec) in enumerate(zip(bcsc.tiles, bcsc.specs)):
             z = z_cat[rl.zidx[i]]
-        x = spec.projection()(z)
-        x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
-        ax_parts.append((tile.a * x).reshape(-1))
-        reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
-        dual_obj = dual_obj + jnp.sum(tile.c * x)
+            x = spec.projection()(z)
+            x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
+            ax_parts.append((tile.a * x).reshape(-1))
+            reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
+            dual_obj = dual_obj + jnp.sum(tile.c * x)
     ax_cat = jnp.concatenate(ax_parts + sentinel)
 
     # carry 2: a·x back into row tiles; dense lane reduction; (m,) gather.
@@ -323,6 +342,10 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         if use_pallas:
             # fused-kernel grid needs the (per-shard) entity count to divide block_k
             pad = pad * pallas_block_k
+        if layout == "butterfly":
+            # butterfly mode runs the fused projection kernel internally, so
+            # K needs the same block_k divisibility
+            pad = max(pad, pallas_block_k)
 
         self.bcsc = build_blockcsc(
             args.A,
@@ -366,7 +389,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         bcsc, b_vec, row_layout = params
         g = self.gamma if gamma is None else gamma
         if row_layout is not None:
-            grad, dual_obj, reg = matching_local_parts_rowmajor(bcsc, row_layout, dual_val, g)
+            grad, dual_obj, reg = matching_local_parts_rowmajor(
+                bcsc, row_layout, dual_val, g, block_k=self.pallas_block_k
+            )
             if b_vec is not None:
                 return _finalize(grad, dual_obj, reg, dual_val, b_vec)
             return ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)

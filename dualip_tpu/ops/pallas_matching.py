@@ -172,3 +172,68 @@ def fused_tile_eval_T(
         length.reshape(1, K),
     )
     return ax, obj[0, 0], reg[0, 0]
+
+
+def _fused_kernel_z(kind: str, params: dict, L: int, z_ref, a_ref, c_ref, len_ref, ax_ref, obj_ref, reg_ref):
+    """Projection-only fusion: ``z`` arrives precomputed (butterfly-carried
+    from the row layout, ``dualip_tpu/sparse/rowmajor.py``), so there is no
+    λ gather and no z recompute — just Proj + a·x + partials in VMEM."""
+    x = _project_block(z_ref[:], kind, params, len_ref[:], L)
+    a = a_ref[:]
+    c = c_ref[:]
+    ax_ref[:] = a * x
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        obj_ref[0, 0] = jnp.zeros((), jnp.float32)
+        reg_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    obj_ref[0, 0] += jnp.sum(c * x)
+    reg_ref[0, 0] += jnp.sum(x * x)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "params_tuple", "block_k", "interpret")
+)
+def fused_tile_eval_T_from_z(
+    z_T: Array,
+    a_T: Array,
+    c_T: Array,
+    length: Array,
+    kind: str,
+    params_tuple: Tuple = (),
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Like ``fused_tile_eval_T`` but consumes a precomputed (L, K) ``z``
+    block (the butterfly path computes z in row space and carries it to
+    column space already transposed)."""
+    L, K = a_T.shape
+    params = dict(params_tuple)
+    if K % block_k != 0:
+        raise ValueError(f"K={K} not divisible by block_k={block_k}")
+    grid = (K // block_k,)
+
+    kernel = functools.partial(_fused_kernel_z, kind, params, L)
+    ax, obj, reg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, K), a_T.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z_T, a_T, c_T, length.reshape(1, K))
+    return ax, obj[0, 0], reg[0, 0]

@@ -69,6 +69,16 @@ class RowTile(NamedTuple):
     axidx: Optional[Array]  # (R, Lr) int32 | None
 
 
+class ColTileT(NamedTuple):
+    """(L, K)-transposed a/c of one column tile (butterfly mode only):
+    lanes carry the entity axis, the shape the fused Pallas projection
+    kernel consumes directly (``ops/pallas_matching.py``)."""
+
+    a: Array  # (L, K)
+    c: Array  # (L, K)
+    length: Array  # (K,) int32
+
+
 @dataclass
 class RowLayout:
     """Static companion indices for one BlockCSC (a JAX pytree).
@@ -78,9 +88,10 @@ class RowLayout:
     sentinel zero); ``RowTile.axidx`` carries a·x back.
 
     Butterfly mode (``method="butterfly"``): ``plan`` is a ``BenesPlan``
-    routing row-space → col-space; the same plan applied in reverse carries
-    a·x back (no per-nnz index arrays at all).  ``col_slices``/``row_slices``
-    are the static (offset, shape) of each tile in the two concat spaces.
+    routing row-space → col-space **in (L, K)-transposed flat order**; the
+    same plan applied in reverse carries a·x back (no per-nnz index arrays
+    at all).  ``col_tiles_T`` holds the transposed a/c the fused projection
+    kernel reads; the untransposed column tiles are not needed per-iteration.
 
     ``row_pos`` is (m,) and indexes the concatenated per-row sums
     (+ sentinel) to assemble the gradient in both modes.
@@ -89,25 +100,25 @@ class RowLayout:
     row_tiles: List[RowTile]
     zidx: Optional[List[Array]]
     row_pos: Array  # (m,) int32
-    plan: Optional[object] = None  # BenesPlan
-    col_slices: Optional[List[tuple]] = None  # (offset, K, L) per column tile
+    plan: Optional[object] = None  # BenesPlan | BenesPlanPacked
+    col_tiles_T: Optional[List[ColTileT]] = None  # butterfly mode only
     use_tpu_kernel: bool = False
 
     def tree_flatten(self):
-        children = (self.row_tiles, self.zidx, self.row_pos, self.plan)
-        aux = (self.col_slices, self.use_tpu_kernel)
+        children = (self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T)
+        aux = (self.use_tpu_kernel,)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        col_slices, use_tpu_kernel = aux
-        row_tiles, zidx, row_pos, plan = children
+        (use_tpu_kernel,) = aux
+        row_tiles, zidx, row_pos, plan, col_tiles_T = children
         return cls(
             row_tiles=list(row_tiles),
             zidx=list(zidx) if zidx is not None else None,
             row_pos=row_pos,
             plan=plan,
-            col_slices=col_slices,
+            col_tiles_T=list(col_tiles_T) if col_tiles_T is not None else None,
             use_tpu_kernel=use_tpu_kernel,
         )
 
@@ -134,6 +145,12 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
     m = bcsc.m
 
     # --- collect every valid nonzero with its column-flat position ---------
+    # Gather mode addresses column space in the tiles' native (K, L) order;
+    # butterfly mode uses the TRANSPOSED (L, K) flat order, so the carried z
+    # slices reshape directly to the (L, K) blocks the fused Pallas
+    # projection kernel streams (lanes = entity axis; no per-iteration
+    # transpose, no λ gather — see ``ops/pallas_matching.py``).
+    transposed = method == "butterfly"
     rows_l, a_l, c_l, axflat_l = [], [], [], []
     offsets = []
     off = 0
@@ -142,7 +159,10 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
         K, L = rows.shape
         lane = np.arange(L)[None, :]
         valid = lane < np.asarray(tile.length)[:, None]
-        flat = off + np.arange(K * L).reshape(K, L)
+        if transposed:
+            flat = off + lane * K + np.arange(K)[:, None]
+        else:
+            flat = off + np.arange(K * L).reshape(K, L)
         rows_l.append(rows[valid])
         a_l.append(np.asarray(tile.a)[valid])
         c_l.append(np.asarray(tile.c)[valid])
@@ -235,11 +255,20 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
             # packing inside the iteration loop would copy the (100 MB-scale)
             # mask array on every application.
             plan = pack_plan(plan)
+        col_tiles_T = [
+            ColTileT(
+                a=jnp.asarray(np.asarray(t.a).T.copy()),
+                c=jnp.asarray(np.asarray(t.c).T.copy()),
+                length=jnp.asarray(np.asarray(t.length)),
+            )
+            for t in bcsc.tiles
+        ]
         return RowLayout(
             row_tiles=row_tiles,
             zidx=None,
             row_pos=jnp.asarray(row_pos),
             plan=plan,
+            col_tiles_T=col_tiles_T,
             use_tpu_kernel=use_tpu_kernel,
         )
 

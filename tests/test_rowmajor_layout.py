@@ -120,6 +120,27 @@ def test_butterfly_layout_matches_csc_layout():
         assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=1e-5, atol=1e-4)
 
 
+def test_butterfly_layout_box_cone_projections():
+    # mixed box/cone map through the fused from-z projection kernel
+    rng = np.random.default_rng(21)
+    m, n = 30, 200
+    A, C, b = _random_problem(rng, m, n)
+    pm = {
+        "bx": ProjectionEntry("box", {"lower": 0.0, "upper": 0.7}, list(range(n // 2))),
+        "cn": ProjectionEntry("cone", {"lower": 0.0}, list(range(n // 2, n))),
+    }
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_csc = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_bf = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="butterfly")
+    for seed in range(3):
+        lam = jnp.asarray(np.abs(np.random.default_rng(seed).normal(size=m)).astype(np.float32))
+        r1, r2 = o_csc.calculate(lam), o_bf.calculate(lam)
+        g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+        assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max())), np.abs(g1 - g2).max()
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=1e-5, atol=1e-4)
+        assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=1e-5, atol=1e-5)
+
+
 def test_butterfly_layout_golden_trace():
     A, C, b_vec = set_up_data_scala()
     pm = create_projection_map("simplex", {"z": 1}, A.shape[1])

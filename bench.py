@@ -86,6 +86,9 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
         keep_flat_idx=False,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
         layout=os.environ.get("DUALIP_BENCH_LAYOUT", default_layout),
+        plan_cache_dir=os.environ.get(
+            "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
+        ),
     )
     build_s = time.perf_counter() - t0
 

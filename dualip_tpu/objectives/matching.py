@@ -312,6 +312,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         use_pallas: bool = False,
         pallas_block_k: int = 1024,
         layout: str = "csc",
+        plan_cache_dir=None,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -361,7 +362,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             from dualip_tpu.sparse.rowmajor import build_row_layout
 
             method = "butterfly" if layout == "butterfly" else "gather"
-            self.row_layout = build_row_layout(self.bcsc, method=method)  # host tiles
+            self.row_layout = build_row_layout(  # host tiles
+                self.bcsc, method=method, plan_cache_dir=plan_cache_dir
+            )
         if use_pallas:
             self.bcsc = transpose_tiles(self.bcsc)
             if mesh is not None:

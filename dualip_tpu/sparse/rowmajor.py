@@ -128,7 +128,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
+def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLayout:
     """Build the row-major companion of a (host-side) BlockCSC.
 
     Must run on the host tiles (before ``device_put_blockcsc``); all outputs
@@ -136,7 +136,10 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
 
     ``method="gather"`` connects the two layouts with per-nnz index arrays
     (XLA gathers); ``method="butterfly"`` routes one Beneš plan instead (the
-    fast TPU path — see ``dualip_tpu/ops/butterfly.py``).
+    fast TPU path — see ``dualip_tpu/ops/butterfly.py``).  ``plan_cache_dir``
+    (butterfly only) caches the routed plan on disk keyed by a hash of the
+    permutation — routing is O(N log²N) host work (~30-120 s at N=4M), the
+    cache load is seconds.
     """
     if method not in ("gather", "butterfly"):
         raise ValueError(f"Unknown row-layout method {method!r}")
@@ -248,7 +251,37 @@ def build_row_layout(bcsc, method: str = "gather") -> RowLayout:
         used[zpos_all] = True
         spare = np.nonzero(~used)[0]
         perm[missing] = spare[: missing.size]
-        plan = benes_route(perm, pad_to=N, n_in=row_total)
+        plan = None
+        cache_path = None
+        if plan_cache_dir is not None:
+            import hashlib
+            from pathlib import Path
+
+            from dualip_tpu.ops.butterfly import BenesPlan
+
+            key = hashlib.sha1(perm.tobytes()).hexdigest()[:20]
+            cache_path = Path(plan_cache_dir) / f"benes_{key}_{N}_{row_total}.npz"
+            if cache_path.exists():
+                d = np.load(cache_path)
+                plan = BenesPlan(
+                    dists=tuple(int(x) for x in d["dists"]),
+                    masks=jnp.asarray(d["masks"]),
+                    n_in=int(d["n_in"]),
+                    n_out=int(d["n_out"]),
+                )
+        if plan is None:
+            plan = benes_route(perm, pad_to=N, n_in=row_total)
+            if cache_path is not None:
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                tmp = cache_path.with_suffix(".tmp.npz")
+                np.savez(
+                    tmp,
+                    dists=np.asarray(plan.dists, dtype=np.int64),
+                    masks=np.asarray(plan.masks),
+                    n_in=plan.n_in,
+                    n_out=plan.n_out,
+                )
+                tmp.replace(cache_path)  # atomic: no corrupt cache on interrupt
         use_tpu_kernel = jax.default_backend() == "tpu"
         if use_tpu_kernel:
             # Pre-split masks into the coarse/fine form the kernel streams;

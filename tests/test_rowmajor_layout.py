@@ -141,6 +141,26 @@ def test_butterfly_layout_box_cone_projections():
         assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=1e-5, atol=1e-5)
 
 
+def test_butterfly_plan_cache_roundtrip(tmp_path):
+    # cold build writes the plan; warm build loads it; results bit-identical
+    rng = np.random.default_rng(17)
+    m, n = 20, 150
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o1 = MatchingSolverDualObjectiveFunction(
+        args, gamma=1e-3, layout="butterfly", plan_cache_dir=str(tmp_path)
+    )
+    assert len(list(tmp_path.glob("benes_*.npz"))) == 1
+    o2 = MatchingSolverDualObjectiveFunction(
+        args, gamma=1e-3, layout="butterfly", plan_cache_dir=str(tmp_path)
+    )
+    lam = jnp.asarray(np.abs(rng.normal(size=m)).astype(np.float32))
+    g1 = np.asarray(o1.calculate(lam).dual_gradient)
+    g2 = np.asarray(o2.calculate(lam).dual_gradient)
+    np.testing.assert_array_equal(g1, g2)
+
+
 def test_butterfly_layout_golden_trace():
     A, C, b_vec = set_up_data_scala()
     pm = create_projection_map("simplex", {"z": 1}, A.shape[1])

@@ -149,8 +149,12 @@ def main():
     num_sources = int(os.environ.get("DUALIP_BENCH_SOURCES", 250_000))
     num_dests = int(os.environ.get("DUALIP_BENCH_DESTS", 10_000))
     sparsity = float(os.environ.get("DUALIP_BENCH_SPARSITY", 1e-3))
-    n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 50))
-    n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 250))
+    # Iteration counts sized so the slope signal (n_big - n_small iterations
+    # of work) clears the pool's multi-second launch noise: at the butterfly
+    # layout's ~1.2 ms/iter the old 50/250 delta was 0.24 s — below noise —
+    # and slopes came out negative.
+    n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 500))
+    n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 5000))
     repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 2))
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 

@@ -327,8 +327,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             raise ValueError(
                 f"Unknown layout {layout!r} (expected 'csc', 'row' or 'butterfly')"
             )
-        if layout != "csc" and (mesh is not None or use_pallas):
-            raise ValueError(f"layout={layout!r} is single-device and exclusive with use_pallas")
+        if layout == "row" and (mesh is not None or use_pallas):
+            raise ValueError("layout='row' is single-device and exclusive with use_pallas")
+        if layout == "butterfly" and use_pallas:
+            raise ValueError(
+                "layout='butterfly' runs its own fused kernel; use_pallas is the csc-layout flag"
+            )
         self.layout = layout
 
         pad = 1
@@ -345,8 +349,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             pad = pad * pallas_block_k
         if layout == "butterfly":
             # butterfly mode runs the fused projection kernel internally, so
-            # K needs the same block_k divisibility
-            pad = max(pad, pallas_block_k)
+            # the per-shard K needs the same block_k divisibility
+            n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+            pad = max(pad, n_shards * pallas_block_k)
 
         self.bcsc = build_blockcsc(
             args.A,
@@ -358,7 +363,24 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             dtype=dtype,
         )
         self.row_layout = None
-        if layout in ("row", "butterfly"):
+        if layout == "butterfly" and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from dualip_tpu.sparse.rowmajor import build_row_layout_sharded
+
+            axis = mesh.axis_names[0]
+            n_shards = int(np.prod(mesh.devices.shape))
+            rl = build_row_layout_sharded(  # host tiles
+                self.bcsc, n_shards, plan_cache_dir=plan_cache_dir
+            )
+            # every leaf carries a leading shard axis — shard it over the mesh
+            self.row_layout = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, PartitionSpec(axis, *([None] * (x.ndim - 1))))
+                ),
+                rl,
+            )
+        elif layout in ("row", "butterfly"):
             from dualip_tpu.sparse.rowmajor import build_row_layout
 
             method = "butterfly" if layout == "butterfly" else "gather"
@@ -392,9 +414,42 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         bcsc, b_vec, row_layout = params
         g = self.gamma if gamma is None else gamma
         if row_layout is not None:
-            grad, dual_obj, reg = matching_local_parts_rowmajor(
-                bcsc, row_layout, dual_val, g, block_k=self.pallas_block_k
-            )
+            if self.mesh is not None:
+                # SPMD butterfly: every leaf of the stacked layout is sharded
+                # on its leading shard axis; each device squeezes its slice
+                # and runs the identical single-device pipeline, then one
+                # psum of (grad, obj, reg) — same O(m) per-iteration volume
+                # as the csc mesh path (SURVEY.md §2.2).
+                from jax.sharding import PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+                block_k = self.pallas_block_k
+                rl_specs = jax.tree.map(
+                    lambda x: P(axis, *([None] * (x.ndim - 1))), row_layout
+                )
+
+                def local_parts(rl_stacked, dv, gg):
+                    rl_local = jax.tree.map(lambda x: x[0], rl_stacked)
+                    lgrad, lobj, lreg = matching_local_parts_rowmajor(
+                        bcsc, rl_local, dv, gg, block_k=block_k
+                    )
+                    return (
+                        jax.lax.psum(lgrad, axis),
+                        jax.lax.psum(lobj, axis),
+                        jax.lax.psum(lreg, axis),
+                    )
+
+                grad, dual_obj, reg = jax.shard_map(
+                    local_parts,
+                    mesh=self.mesh,
+                    in_specs=(rl_specs, P(), P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,  # pallas outputs carry no vma annotation
+                )(row_layout, dual_val, jnp.asarray(g, dual_val.dtype))
+            else:
+                grad, dual_obj, reg = matching_local_parts_rowmajor(
+                    bcsc, row_layout, dual_val, g, block_k=self.pallas_block_k
+                )
             if b_vec is not None:
                 return _finalize(grad, dual_obj, reg, dual_val, b_vec)
             return ObjectiveResult(dual_gradient=grad, dual_objective=dual_obj, reg_penalty=reg)

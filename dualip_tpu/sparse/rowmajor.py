@@ -128,7 +128,9 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLayout:
+def build_row_layout(
+    bcsc, method: str = "gather", plan_cache_dir=None, _forced=None
+) -> RowLayout:
     """Build the row-major companion of a (host-side) BlockCSC.
 
     Must run on the host tiles (before ``device_put_blockcsc``); all outputs
@@ -185,7 +187,18 @@ def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLa
     nz_rows = np.nonzero(counts)[0]
     row_starts = np.concatenate([[0], np.cumsum(counts[nz_rows])])
 
-    thresholds = _pow2_thresholds(int(counts.max()) if counts.size else 1)
+    # ``_forced`` (sharded builds, ``build_row_layout_sharded``): every shard
+    # must produce identically-shaped row tiles / plan for SPMD, so the
+    # thresholds, per-bucket (R, Lr), and padded N are computed globally and
+    # imposed on each shard; shortfall rows/slots are zero padding.
+    if _forced is not None:
+        thresholds = _forced["thresholds"]
+        bucket_shapes = _forced["bucket_shapes"]
+        bucket_ids = sorted(bucket_shapes)
+    else:
+        thresholds = _pow2_thresholds(int(counts.max()) if counts.size else 1)
+        bucket_shapes = None
+        bucket_ids = range(1, len(thresholds))
     bucket_of = np.searchsorted(thresholds, counts[nz_rows], side="left")
 
     # z-vector flat positions: one (R*Lr) span per row bucket + sentinel
@@ -196,19 +209,25 @@ def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLa
     sumpos = np.full(m, -1, dtype=np.int64)
     zoff = 0
     sumoff = 0
-    for b in range(1, len(thresholds)):
+    for b in bucket_ids:
         sel = np.nonzero(bucket_of == b)[0]  # indices into nz_rows
-        if sel.size == 0:
+        if bucket_shapes is not None:
+            R, Lr = bucket_shapes[b]
+        elif sel.size == 0:
             continue
-        R = sel.size
+        else:
+            R = sel.size
+            Lr = int(counts[nz_rows[sel]].max())
         lens = counts[nz_rows[sel]].astype(np.int64)
-        Lr = int(lens.max())
         a_t = np.zeros((R, Lr), dtype=a_all.dtype)
         c_t = np.zeros((R, Lr), dtype=c_all.dtype)
         axidx_t = np.full((R, Lr), ax_sentinel, dtype=np.int64)
-        row_ids_t = nz_rows[sel].astype(np.int32)
+        # forced R > sel.size: trailing rows are padding (row_id 0, a=c=0 —
+        # they carry zeros and their sum slot is never referenced by row_pos)
+        row_ids_t = np.zeros(R, dtype=np.int32)
+        row_ids_t[: sel.size] = nz_rows[sel]
         # vectorized ragged fill (same trick as bcsc._build_tile)
-        r_rep = np.repeat(np.arange(R), lens)
+        r_rep = np.repeat(np.arange(sel.size), lens)
         prefix = np.cumsum(lens) - lens
         l_in_row = np.arange(int(lens.sum())) - prefix[r_rep]
         sorted_pos = row_starts[sel][r_rep] + l_in_row  # index into the sorted nnz order
@@ -217,7 +236,7 @@ def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLa
         c_t[r_rep, l_in_row] = c_all[src]
         axidx_t[r_rep, l_in_row] = axflat_all[src]
         zpos_sorted[sorted_pos] = zoff + r_rep * Lr + l_in_row
-        sumpos[nz_rows[sel]] = sumoff + np.arange(R)
+        sumpos[nz_rows[sel]] = sumoff + np.arange(sel.size)
         row_tiles.append(
             RowTile(
                 a=jnp.asarray(a_t),
@@ -241,7 +260,10 @@ def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLa
 
         col_total = ax_sentinel  # = Σ K·L over column tiles
         row_total = zoff  # = Σ R·Lr over row tiles
-        N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
+        if _forced is not None:
+            N = _forced["N"]
+        else:
+            N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
         # σ: row-space → col-space; col padding slots pull zeros from unused
         # row-space / pad slots (bijection completion).
         perm = np.full(col_total, -1, dtype=np.int64)
@@ -320,3 +342,80 @@ def build_row_layout(bcsc, method: str = "gather", plan_cache_dir=None) -> RowLa
         zidx.append(jnp.asarray(zi.astype(np.int32)))
 
     return RowLayout(row_tiles=row_tiles, zidx=zidx, row_pos=jnp.asarray(row_pos))
+
+
+def _slice_bcsc_cols(bcsc, d: int, n_shards: int):
+    """Host view of shard ``d``: columns [d·K/D, (d+1)·K/D) of every tile.
+
+    Requires every tile's K divisible by ``n_shards`` (the objective builds
+    with ``pad_cols_to = n_shards·block_k`` in mesh-butterfly mode).
+    """
+    from dualip_tpu.sparse.bcsc import BlockCSC, Tile
+
+    tiles = []
+    for t in bcsc.tiles:
+        K = t.a.shape[0]
+        if K % n_shards:
+            raise ValueError(f"tile K={K} not divisible by {n_shards} shards")
+        Kd = K // n_shards
+        sl = slice(d * Kd, (d + 1) * Kd)
+        tiles.append(
+            Tile(rows=t.rows[sl], a=t.a[sl], c=t.c[sl], length=t.length[sl], col_ids=t.col_ids[sl])
+        )
+    return BlockCSC(tiles=tiles, specs=bcsc.specs, m=bcsc.m, n=bcsc.n, nnz=bcsc.nnz)
+
+
+def build_row_layout_sharded(bcsc, n_shards: int, plan_cache_dir=None) -> RowLayout:
+    """Stacked butterfly layouts for an entity-sharded SPMD solve.
+
+    Splits the (host) BlockCSC into ``n_shards`` column shards, builds one
+    butterfly row layout per shard under FORCED common shapes (global pow-2
+    thresholds; per-bucket (R, Lr) and padded N maxed over shards — SPMD
+    needs one program, so per-shard differences must live in array DATA, not
+    shapes), and stacks every leaf along a new leading shard axis.  Shard the
+    result's leaves on that axis over the mesh; inside ``shard_map`` each
+    device squeezes its slice and runs the exact single-device pipeline,
+    followed by one psum of (grad, obj, reg) — the same communication volume
+    as the csc mesh path (SURVEY.md §2.2).
+    """
+    from dualip_tpu.sparse.bcsc import _pow2_thresholds
+
+    m = bcsc.m
+    shards = [_slice_bcsc_cols(bcsc, d, n_shards) for d in range(n_shards)]
+
+    # pass 1: global thresholds + per-bucket shape maxima + forced N
+    per_shard_counts = []
+    for sh in shards:
+        rows_valid = []
+        for t in sh.tiles:
+            rows = np.asarray(t.rows)
+            lane = np.arange(rows.shape[1])[None, :]
+            rows_valid.append(rows[lane < np.asarray(t.length)[:, None]])
+        rows_valid = np.concatenate(rows_valid) if rows_valid else np.zeros(0, np.int64)
+        per_shard_counts.append(np.bincount(rows_valid.astype(np.int64), minlength=m))
+    max_count = max((int(c.max()) for c in per_shard_counts if c.size), default=1)
+    thresholds = _pow2_thresholds(max(max_count, 1))
+
+    bucket_shapes = {}
+    for c in per_shard_counts:
+        nz = np.nonzero(c)[0]
+        if nz.size == 0:
+            continue
+        bucket_of = np.searchsorted(thresholds, c[nz], side="left")
+        for b in np.unique(bucket_of):
+            sel = bucket_of == b
+            R = int(sel.sum())
+            Lr = int(c[nz][sel].max())
+            R0, Lr0 = bucket_shapes.get(int(b), (0, 0))
+            bucket_shapes[int(b)] = (max(R0, R), max(Lr0, Lr))
+
+    col_total = sum(int(np.asarray(t.a).shape[0]) * int(np.asarray(t.a).shape[1]) for t in shards[0].tiles)
+    row_total = sum(R * Lr for R, Lr in bucket_shapes.values())
+    N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
+    forced = {"thresholds": thresholds, "bucket_shapes": bucket_shapes, "N": N}
+
+    layouts = [
+        build_row_layout(sh, method="butterfly", plan_cache_dir=plan_cache_dir, _forced=forced)
+        for sh in shards
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layouts)

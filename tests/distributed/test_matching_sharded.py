@@ -51,6 +51,34 @@ def test_sharded_golden_trace(n_devices):
     assert shardings.is_equivalent_to(entity_sharding(mesh), some_tile.a.ndim)
 
 
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_butterfly_golden_trace(n_devices):
+    """The butterfly fast path composes with the mesh: per-shard Benes plans
+    stacked on a sharded leading axis, one psum per iteration."""
+    if len(jax.devices()) < n_devices:
+        pytest.skip(f"needs {n_devices} devices")
+    gamma = 1e-3
+    A, C, b_vec = set_up_data_scala()
+    pm = create_projection_map("simplex", {"z": 1}, A.shape[1])
+    obj = MatchingSolverDualObjectiveFunction(
+        MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b_vec),
+        gamma=gamma,
+        mesh=default_mesh(n_devices),
+        layout="butterfly",
+        pallas_block_k=128,
+    )
+    res = AcceleratedGradientDescent(max_iter=30, gamma=gamma).maximize(
+        obj, jnp.asarray(0.1 * np.ones(5, np.float32))
+    )
+    for i, true_val in TRUE_VALUES:
+        got = res.dual_objective_log[i - 1]
+        assert abs(got - true_val) < 1e-5, f"{n_devices} devices, iter {i}: {got} vs {true_val}"
+    # gradient replicated after the psum
+    assert res.objective_result.dual_gradient.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(default_mesh(n_devices), jax.sharding.PartitionSpec()), 1
+    )
+
+
 def test_distributed_wrapper_matches_reference_api():
     """MatchingSolverDualObjectiveFunctionDistributed accepts the reference's
     constructor shape (local args + b_vec + gamma + host_device) and produces

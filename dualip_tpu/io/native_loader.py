@@ -85,7 +85,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             lib.dualip_fill_tile.argtypes = [ctypes.c_void_p] * 4 + [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ] + [ctypes.c_void_p] * 6 + [ctypes.c_int]
-            if lib.dualip_native_abi_version() != 1:
+            lib.dualip_benes_route.restype = None
+            lib.dualip_benes_route.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            if lib.dualip_native_abi_version() != 2:
                 return None
         except AttributeError as e:  # incompatible / truncated .so
             print(f"dualip native library rejected: {e}")
@@ -172,3 +176,22 @@ def fill_tile_native(
         threads,
     )
     return rows_out, a_out, c_out, length, col_ids, flat_idx
+
+
+def benes_route_native(src: np.ndarray, threads: int = 0) -> Optional[np.ndarray]:
+    """(2n-1, N) int8 Benes stage masks for the completed bijection ``src``
+    on N = 2^n slots (src[i] = input slot feeding output slot i), or None.
+
+    Bit-for-bit the same masks as the numpy router's looping-argument
+    construction (``dualip_tpu/ops/butterfly.py::benes_route``), computed by
+    parallel direct cycle walking instead of pointer doubling.
+    """
+    lib = load_native()
+    if lib is None:
+        return None
+    N = int(src.size)
+    n = N.bit_length() - 1
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    masks = np.empty((2 * n - 1, N), dtype=np.int8)
+    lib.dualip_benes_route(N, _ptr(src), _ptr(masks), threads)
+    return masks

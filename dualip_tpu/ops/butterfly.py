@@ -116,6 +116,22 @@ def benes_route(
     src[n_out:] = np.nonzero(~used)[0]
 
     n_stages = 2 * n - 1
+
+    # Native router: same masks bit-for-bit (parallel direct cycle walking,
+    # native/dualip_native.cc::dualip_benes_route); numpy pointer-doubling
+    # below is the fallback and the small-N path.
+    if N >= (1 << 14):
+        from dualip_tpu.io.native_loader import benes_route_native
+
+        native_masks = benes_route_native(src)
+        if native_masks is not None:
+            dists = tuple(1 << b for b in range(n - 1, 0, -1)) + (1,) + tuple(
+                1 << b for b in range(1, n)
+            )
+            return BenesPlan(
+                dists=dists, masks=jnp.asarray(native_masks), n_in=n_in, n_out=n_out
+            )
+
     masks = np.zeros((n_stages, N), dtype=np.int8)
     idx = np.arange(N, dtype=np.int32)
 

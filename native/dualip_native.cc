@@ -263,6 +263,91 @@ void dualip_fill_tile(const int64_t* indptr, const int32_t* row_indices,
   }, threads);
 }
 
-int dualip_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Benes-network router
+// ---------------------------------------------------------------------------
+
+// Routes a bijection src0 on N = 2^n slots through a 2n-1 stage Benes
+// network (same looping-argument construction, bit-for-bit, as the numpy
+// router in dualip_tpu/ops/butterfly.py::benes_route — cited there).  The
+// numpy router vectorizes the 2-coloring with pointer doubling, O(N log^2 N)
+// with large temporaries; here cycles are walked directly, O(N log N) with
+// small constants, and every per-slot pass parallelizes across the thread
+// pool (the cycles of h are confined to independent 2^(b+1)-slot blocks).
+//
+// src0: input slot feeding each output slot (caller completes the bijection
+// and zero-pads, exactly as the numpy router does).  masks_out: (2n-1, N)
+// int8, caller-allocated.
+void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
+                        int threads) {
+  int n = 0;
+  while ((int64_t(1) << n) < N) ++n;
+  int64_t n_stages = 2 * n - 1;
+
+  std::vector<int32_t> src(src0, src0 + N);
+  std::vector<int32_t> inv(N), rep(N), color(N), new_src(N);
+
+  for (int t = 0; t < n - 1; ++t) {
+    int b = n - 1 - t;
+    int32_t D = int32_t(1) << b;
+    parallel_for(N, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) inv[src[i]] = static_cast<int32_t>(i);
+    }, threads);
+
+    // h(i) = inv[src[i ^ D] ^ D]; its cycles live inside 2^(b+1) blocks.
+    int64_t B = int64_t(1) << (b + 1);
+    int64_t n_blocks = N / B;
+    auto color_block = [&](int64_t blo, int64_t bhi) {
+      for (int64_t blk = blo; blk < bhi; ++blk) {
+        int64_t base = blk * B;
+        // rep[i] = min slot id over the h-orbit of i (walk each orbit twice)
+        for (int64_t i = base; i < base + B; ++i) rep[i] = -1;
+        for (int64_t i = base; i < base + B; ++i) {
+          if (rep[i] >= 0) continue;
+          int32_t mn = static_cast<int32_t>(i);
+          int32_t j = static_cast<int32_t>(i);
+          do {
+            if (j < mn) mn = j;
+            j = inv[src[j ^ D] ^ D];
+          } while (j != static_cast<int32_t>(i));
+          do {
+            rep[j] = mn;
+            j = inv[src[j ^ D] ^ D];
+          } while (j != static_cast<int32_t>(i));
+        }
+        for (int64_t i = base; i < base + B; ++i)
+          color[i] = rep[i] > rep[i ^ D] ? 1 : 0;
+      }
+    };
+    if (n_blocks >= 2) {
+      parallel_for(n_blocks, color_block, threads);
+    } else {
+      color_block(0, n_blocks);
+    }
+
+    int8_t* m_entry = masks_out + int64_t(t) * N;
+    int8_t* m_exit = masks_out + (n_stages - 1 - t) * N;
+    parallel_for(N, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t j = src[i];
+        m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color[i]);
+        m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color[i]);
+        int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color[i] << b);
+        int32_t j2 = (j & ~D) | (color[i] << b);
+        new_src[i2] = j2;
+      }
+    }, threads);
+    std::swap(src, new_src);
+  }
+
+  // middle stage (distance 1): remaining disagreement is a pair swap
+  int8_t* m_mid = masks_out + int64_t(n - 1) * N;
+  parallel_for(N, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      m_mid[i] = static_cast<int8_t>(src[i] != static_cast<int32_t>(i));
+  }, threads);
+}
+
+int dualip_native_abi_version() { return 2; }
 
 }  // extern "C"

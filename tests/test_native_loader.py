@@ -91,3 +91,27 @@ def test_native_generator_solves():
         obj, jnp.zeros(nd, jnp.float32)
     )
     assert np.isfinite(res.dual_objective)
+
+
+def test_native_benes_router_matches_numpy():
+    """Native cycle-walk router produces bit-identical masks to the numpy
+    pointer-doubling router (the construction cited in butterfly.py)."""
+    import dualip_tpu.io.native_loader as nl
+    import dualip_tpu.ops.butterfly as bf
+
+    if not nl.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    N = 1 << 15  # above the native-dispatch threshold
+    perm = rng.permutation(N)
+    p_nat = bf.benes_route(perm)
+    orig = nl.benes_route_native
+    nl.benes_route_native = lambda *a, **k: None  # force the numpy path
+    try:
+        p_np = bf.benes_route(perm)
+    finally:
+        nl.benes_route_native = orig
+    assert p_nat.dists == p_np.dists
+    np.testing.assert_array_equal(np.asarray(p_nat.masks), np.asarray(p_np.masks))

@@ -36,6 +36,8 @@ def main():
     p.add_argument("--use-preconditioning", action="store_true", default=CONFIG.USE_PRECONDITIONING)
     p.add_argument("--no-batching", action="store_true")
     p.add_argument("--use-pallas", action="store_true", help="fused Pallas tile kernel")
+    p.add_argument("--layout", default="csc", choices=["csc", "row", "butterfly"],
+                   help="gradient formulation (butterfly = fast TPU path)")
     p.add_argument("--pallas-block-k", type=int, default=1024)
     p.add_argument("--use-gamma-decay", action="store_true")
     p.add_argument("--decay-factor", type=float, default=0.5)
@@ -91,6 +93,7 @@ def main():
         keep_flat_idx=False,
         use_pallas=args.use_pallas,
         pallas_block_k=args.pallas_block_k,
+        layout=args.layout,
     )
     print(f"tiles: {time.perf_counter()-t0:.1f}s ({len(objective.bcsc.tiles)} tiles)")
 

@@ -37,6 +37,8 @@ def main():
     p.add_argument("--initial-step-size", type=float, default=CONFIG.INITIAL_STEP_SIZE)
     p.add_argument("--max-step-size", type=float, default=CONFIG.MAX_STEP_SIZE)
     p.add_argument("--seed", type=int, default=CONFIG.SEED)
+    p.add_argument("--layout", default="csc", choices=["csc", "butterfly"],
+                   help="gradient formulation (butterfly = fast path, per-shard plans)")
     p.add_argument("--num-devices", type=int, default=None, help="default: all visible devices")
     p.add_argument("--platform", default=None, help="cpu -> virtual host devices")
     p.add_argument("--coordinator", default=None, help="multi-host coordinator address")
@@ -72,7 +74,7 @@ def main():
 
     t0 = time.perf_counter()
     objective = MatchingSolverDualObjectiveFunction(
-        input_args, gamma=args.gamma, mesh=mesh, keep_flat_idx=False
+        input_args, gamma=args.gamma, mesh=mesh, keep_flat_idx=False, layout=args.layout
     )
     print(f"sharded tiles: {time.perf_counter()-t0:.1f}s over {n_dev} devices")
 

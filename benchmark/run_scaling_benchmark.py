@@ -22,7 +22,7 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 
 
-def run_cell(num_sources, num_destinations, sparsity, max_iter, n_devices, platform, seed):
+def run_cell(num_sources, num_destinations, sparsity, max_iter, n_devices, platform, seed, layout="csc"):
     code = f"""
 import json, time, sys
 sys.path.insert(0, {str(HERE.parent)!r}); sys.path.insert(0, {str(HERE)!r})
@@ -40,7 +40,7 @@ from dualip_tpu.parallel import default_mesh
 
 args, _ = generate_benchmark_data({num_sources}, {num_destinations}, {sparsity}, seed={seed})
 mesh = default_mesh({n_devices}) if {n_devices} > 1 else None
-obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, mesh=mesh, keep_flat_idx=False)
+obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, mesh=mesh, keep_flat_idx=False, layout={layout!r})
 solver = AcceleratedGradientDescent(max_iter={max_iter}, gamma=1e-3,
                                     initial_step_size=1e-3, max_step_size=1e-1)
 lam0 = jnp.zeros({num_destinations}, jnp.float32)
@@ -68,6 +68,8 @@ def main():
     p.add_argument("--max-iter", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--platform", default=None)
+    p.add_argument("--layout", default="csc", choices=["csc", "butterfly"],
+                   help="gradient formulation (butterfly = fast path; composes with the mesh)")
     p.add_argument("--out-csv", default="scaling_results.csv")
     p.add_argument("--check-tolerance", type=float, default=1e-3, help="relative dual-objective agreement across device counts")
     args = p.parse_args()
@@ -80,7 +82,7 @@ def main():
         cell_objs = {}
         for nd in devs:
             print(f"--- sources={ns} devices={nd} ---", flush=True)
-            r = run_cell(ns, args.num_destinations, args.target_sparsity, args.max_iter, nd, args.platform, args.seed)
+            r = run_cell(ns, args.num_destinations, args.target_sparsity, args.max_iter, nd, args.platform, args.seed, layout=args.layout)
             rows.append(
                 dict(
                     num_devices=nd,

@@ -580,6 +580,8 @@ class MatchingSolverDualObjectiveFunctionDistributed(MatchingSolverDualObjective
         mesh=None,
         use_pallas: bool = False,
         pallas_block_k: int = 1024,
+        layout: str = "csc",
+        plan_cache_dir=None,
     ):
         del host_device
         if mesh is None:
@@ -601,4 +603,6 @@ class MatchingSolverDualObjectiveFunctionDistributed(MatchingSolverDualObjective
             mesh=mesh,
             use_pallas=use_pallas,
             pallas_block_k=pallas_block_k,
+            layout=layout,
+            plan_cache_dir=plan_cache_dir,
         )

@@ -143,6 +143,99 @@ class _SparseOps:
         return row_norms_csc(self._host)
 
 
+class _ButterflySparseOps:
+    """Scatter/gather-free sparse matvecs via the Beneš dual layout.
+
+    Same machinery as the matching fast path (``dualip_tpu/sparse/rowmajor.py``,
+    ``dualip_tpu/ops/butterfly.py``): A's nonzeros live in dense column tiles
+    and a row-major companion, connected by one static Beneš plan.
+    ``rmatvec`` computes ``a·λ[row]`` in row space (the dual value is constant
+    per sublane — a broadcast, not a gather), carries it to column space, and
+    lane-reduces per column; ``matvec`` broadcasts x per column slot, carries
+    ``a·x`` back, and lane-reduces per row.  The reference's per-nnz
+    ``index_select``/``scatter_add`` pair (reference ``miplib.py:76,93``) —
+    near-serial on TPU — is replaced by two streaming permutation applies.
+    Single mesh device; the mesh path keeps the COO shard_map formulation.
+    """
+
+    def __init__(self, A: CSCMatrix, dtype, plan_cache_dir=None):
+        from dualip_tpu.projections.base import ProjectionEntry
+        from dualip_tpu.sparse.bcsc import build_blockcsc
+        from dualip_tpu.sparse.rowmajor import build_row_layout
+
+        self.shape = A.shape
+        m, n = A.shape
+        # The tile grouping needs a projection map only for nnz bucketing;
+        # the objective's real indexed projections stay on the (n,) vector.
+        pm = {"all": ProjectionEntry("identity", {}, np.arange(n))}
+        zeros_c = CSCMatrix(
+            indptr=A.indptr, row_indices=A.row_indices,
+            data=np.zeros_like(np.asarray(A.data)), shape=A.shape,
+        )
+        bcsc = build_blockcsc(
+            A, zeros_c, pm, batching=True, pad_cols_to=1024, keep_flat_idx=False, dtype=dtype
+        )
+        self.rl = build_row_layout(bcsc, method="butterfly", plan_cache_dir=plan_cache_dir)
+
+        # Column-slot metadata: slot s holds tile t's column k (concat order);
+        # colpos maps variable id -> its slot in the per-column sums concat
+        # (sentinel = zero for variables with no nonzeros).
+        colpos = np.full(n, sum(int(t.col_ids.shape[0]) for t in bcsc.tiles), dtype=np.int64)
+        ids = []
+        off = 0
+        for t in bcsc.tiles:
+            cid = np.asarray(t.col_ids)
+            valid = cid >= 0
+            colpos[cid[valid]] = off + np.nonzero(valid)[0]
+            ids.append(np.maximum(cid, 0))  # padding cols: gather x[0], a=0 kills it
+            off += cid.shape[0]
+        self.colpos = jnp.asarray(colpos.astype(np.int32))
+        self.col_ids_cat = jnp.asarray(np.concatenate(ids).astype(np.int32))
+        self._host = A
+
+    def _carry(self, vec: Array, reverse: bool) -> Array:
+        from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu
+
+        if self.rl.use_tpu_kernel:
+            return apply_butterfly_tpu(self.rl.plan, vec, reverse=reverse)
+        return apply_butterfly(self.rl.plan, vec, reverse=reverse)
+
+    def rmatvec(self, y: Array) -> Array:
+        rl = self.rl
+        t_parts = [rt.a * y[rt.row_ids][:, None] for rt in rl.row_tiles]
+        t_col = self._carry(jnp.concatenate([p.reshape(-1) for p in t_parts]), reverse=False)
+        sums = []
+        off = 0
+        for ct in rl.col_tiles_T:
+            L, K = ct.a.shape
+            sums.append(jnp.sum(t_col[off : off + K * L].reshape(L, K), axis=0))
+            off += K * L
+        sums_cat = jnp.concatenate(sums + [jnp.zeros(1, y.dtype)])
+        return sums_cat[self.colpos]
+
+    def matvec(self, x: Array) -> Array:
+        rl = self.rl
+        xg = x[self.col_ids_cat]  # (Σ K,) — an n-scale gather, not nnz-scale
+        u_parts = []
+        off = 0
+        for ct in rl.col_tiles_T:
+            L, K = ct.a.shape
+            u_parts.append((ct.a * xg[off : off + K][None, :]).reshape(-1))
+            off += K
+        u_row = self._carry(jnp.concatenate(u_parts), reverse=True)
+        sums = []
+        off = 0
+        for rt in rl.row_tiles:
+            R, Lr = rt.a.shape
+            sums.append(jnp.sum(u_row[off : off + R * Lr].reshape(R, Lr), axis=1))
+            off += R * Lr
+        sums_cat = jnp.concatenate(sums + [jnp.zeros(1, x.dtype)])
+        return sums_cat[rl.row_pos]
+
+    def row_norms(self) -> np.ndarray:
+        return row_norms_csc(self._host)
+
+
 def _param_bound(params: dict, short: str, long: str):
     if short in params:
         return params[short]
@@ -167,15 +260,24 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
         use_jacobi_precondition: bool = False,
         dtype=np.float32,
         mesh=None,
+        layout: str = "coo",
+        plan_cache_dir=None,
     ):
         args = miplib_input_args
         self._sparse = isinstance(args.A, CSCMatrix)
         self.mesh = mesh
-        self.ops = (
-            _SparseOps(args.A, dtype, mesh=mesh)
-            if self._sparse
-            else _DenseOps(args.A, dtype, mesh=mesh)
-        )
+        if layout not in ("coo", "butterfly"):
+            raise ValueError(f"Unknown layout {layout!r} (expected 'coo' or 'butterfly')")
+        if layout == "butterfly" and (not self._sparse or mesh is not None):
+            raise ValueError("layout='butterfly' needs sparse A and mesh=None")
+        if layout == "butterfly":
+            self.ops = _ButterflySparseOps(args.A, dtype, plan_cache_dir=plan_cache_dir)
+        else:
+            self.ops = (
+                _SparseOps(args.A, dtype, mesh=mesh)
+                if self._sparse
+                else _DenseOps(args.A, dtype, mesh=mesh)
+            )
         self.c = jnp.asarray(np.asarray(args.c, dtype=dtype))
         self.b_vec = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
         self.projection_map = args.projection_map

@@ -183,3 +183,31 @@ def test_miplib_save_primal():
     # z = -c/gamma = -100 -> box-projected to lower bound 0
     assert np.allclose(np.asarray(res.primal_var), [0.0, 0.0])
     assert np.isclose(float(res.primal_objective), 0.0)
+
+
+def test_miplib_butterfly_layout_matches_coo():
+    """layout='butterfly' (Benes dual-layout matvecs) matches the COO path
+    per-calculate and through a short solve."""
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+
+    rng = np.random.default_rng(4)
+    m, n = 20, 120
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    A[np.abs(A) < 1.0] = 0.0
+    A[0, :] = np.where(A[0, :] == 0, 0.3, A[0, :])
+    c = rng.normal(size=n).astype(np.float32)
+    b = rng.normal(size=m).astype(np.float32)
+    pm = create_projection_map("box", {"l": -1.0, "u": 1.0}, n)
+    args = MIPLIBInputArgs(A=csc_from_dense(A), c=c, projection_map=pm, b_vec=b, equality_mask=None)
+
+    coo = MIPLIB2017ObjectiveFunction(args)
+    bf = MIPLIB2017ObjectiveFunction(args, layout="butterfly")
+    for seed in range(3):
+        lam = jnp.asarray(np.abs(np.random.default_rng(seed).normal(size=m)).astype(np.float32))
+        r1, r2 = coo.calculate(lam, gamma=1e-2), bf.calculate(lam, gamma=1e-2)
+        assert np.allclose(np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient), atol=1e-4)
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), atol=1e-3)
+
+    s1 = AcceleratedGradientDescent(max_iter=25, gamma=1e-2).maximize(coo, jnp.zeros(m, jnp.float32))
+    s2 = AcceleratedGradientDescent(max_iter=25, gamma=1e-2).maximize(bf, jnp.zeros(m, jnp.float32))
+    assert np.isclose(float(s1.dual_objective), float(s2.dual_objective), rtol=1e-4, atol=1e-3)

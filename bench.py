@@ -86,6 +86,7 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
         keep_flat_idx=False,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
         layout=os.environ.get("DUALIP_BENCH_LAYOUT", default_layout),
+        keep_col_tiles=False,  # butterfly path never reads them; saves 12 B/nnz HBM
         plan_cache_dir=os.environ.get(
             "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
         ),

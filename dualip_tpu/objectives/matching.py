@@ -313,6 +313,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         pallas_block_k: int = 1024,
         layout: str = "csc",
         plan_cache_dir=None,
+        keep_col_tiles: bool = True,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -387,7 +388,14 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             self.row_layout = build_row_layout(  # host tiles
                 self.bcsc, method=method, plan_cache_dir=plan_cache_dir
             )
-        if use_pallas:
+        if layout == "butterfly" and not keep_col_tiles:
+            # The butterfly hot path never reads the (K, L) column tiles (the
+            # layout carries transposed copies); dropping them saves their
+            # 12 B/nnz of HBM. save_primal needs them — it raises if dropped.
+            self.bcsc = BlockCSC(
+                tiles=[], specs=self.bcsc.specs, m=self.bcsc.m, n=self.bcsc.n, nnz=self.bcsc.nnz
+            )
+        elif use_pallas:
             self.bcsc = transpose_tiles(self.bcsc)
             if mesh is not None:
                 self.bcsc = device_put_blockcsc_T(self.bcsc, mesh)
@@ -527,6 +535,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             raise NotImplementedError(
                 "save_primal with use_pallas=True is not supported; build the "
                 "objective with use_pallas=False for primal extraction"
+            )
+        if save_primal and not self.bcsc.tiles:
+            raise NotImplementedError(
+                "save_primal needs the column tiles; build the objective with "
+                "keep_col_tiles=True"
             )
         if not save_primal:
             fn = self._jit_cache.get("calc")

@@ -38,7 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 DEFAULT_BLOCK_K = 1024
-BISECTION_ITERS = 50
+# The reference runs 50 bisection halvings (simplex.py:97-118); in fp32 the
+# bracket [-1, 0] stops making representable progress after ~26 (2^-26 ≈
+# 1.5e-8, below ulp at the solver's magnitudes and far below the 1e-6 tol).
+# 30 keeps 4 halvings of slack and cuts the VMEM projection kernel's VPU work
+# ~40% (profiled: the bisection loop dominates the kernel).
+BISECTION_ITERS = 30
 
 
 def _project_block(z, kind: str, params: dict, length, L: int):

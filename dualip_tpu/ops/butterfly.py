@@ -358,7 +358,14 @@ def _apply_coarse(v, masks, steps, nb, bs, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Strip width: wide for DMA efficiency, but the block is (nb, w) and nb
+    # grows with N (nb = N/bs) — at N=2^26 a fixed w=2048 put 20 MB on the
+    # 16 MB VMEM stack (in + out f32 + mask planes, double-buffered).  Halve
+    # w until the resident footprint fits a ~4 MB budget.
+    P = masks.shape[0]
     w = min(bs, 2048)
+    while w > 128 and 2 * (8 + P) * nb * w > (4 << 20):
+        w //= 2
     grid = bs // w
     kernel = functools.partial(_coarse_kernel, steps, nb)
     out = pl.pallas_call(

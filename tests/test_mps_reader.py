@@ -4,6 +4,7 @@ instance end-to-end (reference asserts dual ≈ 27±1,
 
 import gzip
 import math
+import os
 from pathlib import Path
 
 import numpy as np
@@ -164,3 +165,36 @@ ENDATA
     dense = csc_to_dense(A)
     assert dense[0, xj] == 5.0
     assert dense[0, yj] == 1.0
+
+
+@pytest.mark.skipif(not BUNDLED.exists(), reason="bundled MIPLIB instance missing")
+@pytest.mark.skipif(
+    os.environ.get("DUALIP_RUN_SLOW") != "1",
+    reason="~8 min under interpret-mode Pallas on CPU; set DUALIP_RUN_SLOW=1 (passes)",
+)
+def test_v150d30_butterfly_layout_agrees():
+    """The Benes-layout general-LP matvecs reproduce the COO path on the real
+    MPS instance (per-calculate and through a short solve)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+
+    lp = read_mps_file(str(BUNDLED))
+    args = lp.to_miplib_input_args()
+    coo = MIPLIB2017ObjectiveFunction(args)
+    bf = MIPLIB2017ObjectiveFunction(args, layout="butterfly")
+    lam = jnp.asarray(np.abs(np.random.default_rng(0).normal(size=lp.shape[0])).astype(np.float32))
+    r1, r2 = coo.calculate(lam, gamma=1e-3), bf.calculate(lam, gamma=1e-3)
+    g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+    assert np.allclose(g1, g2, atol=1e-3 * max(1.0, np.abs(g1).max())), np.abs(g1 - g2).max()
+
+    # short solve agreement (interpret-mode Pallas off-TPU: keep iterations low)
+    s1 = AcceleratedGradientDescent(max_iter=10, gamma=1e-3, initial_step_size=1e-5).maximize(
+        coo, jnp.zeros(lp.shape[0], jnp.float32)
+    )
+    s2 = AcceleratedGradientDescent(max_iter=10, gamma=1e-3, initial_step_size=1e-5).maximize(
+        bf, jnp.zeros(lp.shape[0], jnp.float32)
+    )
+    assert np.isclose(float(s1.dual_objective), float(s2.dual_objective), rtol=1e-4, atol=1e-3)

@@ -264,11 +264,9 @@ jax.tree_util.register_pytree_node(
 
 def _packbits_stages(m: np.ndarray) -> np.ndarray:
     """(S, X) masks → (ceil(S/8), X) uint8 bit-planes, stage s → bit s&7 of plane s>>3."""
-    S = m.shape[0]
-    out = np.zeros(((S + 7) // 8, m.shape[1]), dtype=np.uint8)
-    for s in range(S):
-        out[s >> 3] |= (m[s] != 0).astype(np.uint8) << (s & 7)
-    return out
+    if m.shape[0] == 0:
+        return np.zeros((0, m.shape[1]), dtype=np.uint8)
+    return np.packbits(m != 0, axis=0, bitorder="little")
 
 
 def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPlanPacked:

@@ -128,9 +128,11 @@ def benes_route(
             dists = tuple(1 << b for b in range(n - 1, 0, -1)) + (1,) + tuple(
                 1 << b for b in range(1, n)
             )
-            return BenesPlan(
-                dists=dists, masks=jnp.asarray(native_masks), n_in=n_in, n_out=n_out
-            )
+            # masks stay host-side: staging the unpacked (2n-1, N) array to
+            # device here costs GBs of H2D (+D2H again in pack_plan); the
+            # packed planes are shipped instead, and the unpacked CPU path
+            # stages lazily on first use.
+            return BenesPlan(dists=dists, masks=native_masks, n_in=n_in, n_out=n_out)
 
     masks = np.zeros((n_stages, N), dtype=np.int8)
     idx = np.arange(N, dtype=np.int32)
@@ -167,7 +169,7 @@ def benes_route(
     dists = tuple(1 << b for b in range(n - 1, 0, -1)) + (1,) + tuple(
         1 << b for b in range(1, n)
     )
-    return BenesPlan(dists=dists, masks=jnp.asarray(masks), n_in=n_in, n_out=n_out)
+    return BenesPlan(dists=dists, masks=masks, n_in=n_in, n_out=n_out)  # host-side (see above)
 
 
 def _stage_jnp(x: Array, mask: Array, d: int) -> Array:

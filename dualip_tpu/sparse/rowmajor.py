@@ -282,12 +282,16 @@ def build_row_layout(
             from dualip_tpu.ops.butterfly import BenesPlan
 
             key = hashlib.sha1(perm.tobytes()).hexdigest()[:20]
-            cache_path = Path(plan_cache_dir) / f"benes_{key}_{N}_{row_total}.npz"
+            # v2: masks stored as bit-planes (8 stages/byte) — the unpacked
+            # (2n-1, N) int8 form is 3.3 GB at N=2^26
+            cache_path = Path(plan_cache_dir) / f"benes2_{key}_{N}_{row_total}.npz"
             if cache_path.exists():
                 d = np.load(cache_path)
+                S = int(d["n_stages"])
+                masks = np.unpackbits(d["masks_packed"], axis=0, count=S, bitorder="little")
                 plan = BenesPlan(
                     dists=tuple(int(x) for x in d["dists"]),
-                    masks=jnp.asarray(d["masks"]),
+                    masks=masks.astype(np.int8),  # host-side; staged only if unpacked path
                     n_in=int(d["n_in"]),
                     n_out=int(d["n_out"]),
                 )
@@ -296,10 +300,12 @@ def build_row_layout(
             if cache_path is not None:
                 cache_path.parent.mkdir(parents=True, exist_ok=True)
                 tmp = cache_path.with_suffix(".tmp.npz")
+                masks_np = np.asarray(plan.masks)
                 np.savez(
                     tmp,
                     dists=np.asarray(plan.dists, dtype=np.int64),
-                    masks=np.asarray(plan.masks),
+                    masks_packed=np.packbits(masks_np != 0, axis=0, bitorder="little"),
+                    n_stages=masks_np.shape[0],
                     n_in=plan.n_in,
                     n_out=plan.n_out,
                 )

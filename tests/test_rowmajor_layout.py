@@ -151,7 +151,7 @@ def test_butterfly_plan_cache_roundtrip(tmp_path):
     o1 = MatchingSolverDualObjectiveFunction(
         args, gamma=1e-3, layout="butterfly", plan_cache_dir=str(tmp_path)
     )
-    assert len(list(tmp_path.glob("benes_*.npz"))) == 1
+    assert len(list(tmp_path.glob("benes2_*.npz"))) == 1
     o2 = MatchingSolverDualObjectiveFunction(
         args, gamma=1e-3, layout="butterfly", plan_cache_dir=str(tmp_path)
     )

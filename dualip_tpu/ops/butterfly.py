@@ -333,18 +333,27 @@ def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
     """All cross-block stages of one side, fused over a column strip.
 
     Flat index ``i_blk*bs + j``: a stage at distance ``q*bs`` pairs element
-    ``(i_blk, j)`` with ``(i_blk ^ q, j)`` — a pure row exchange.  One strip
-    ``V[:, j0:j0+w]`` therefore sees ALL coarse stages of its side in VMEM;
-    previously each stage was its own roll+select full HBM pass.  ``steps``
-    is a static tuple of (mask_row, q) in execution order (reverse traversal
-    is encoded here, so the mask array never needs flipping on device)."""
+    ``(i_blk, j)`` with ``(i_blk ^ q, j)`` — a pure exchange along the block
+    axis.  One strip ``V[:, r0:r0+wr, :]`` of the (nb, R, 128) view therefore
+    sees ALL coarse stages of its side in VMEM; previously each stage was its
+    own roll+select full HBM pass.  ``steps`` is a static tuple of
+    (mask_row, q) in execution order (reverse traversal is encoded here, so
+    the mask array never needs flipping on device).
+
+    The (nb, R, 128) shape (NOT (nb, bs)) is load-bearing: with the minor dim
+    exactly 128, XLA's (8, 128) tiling of the last two dims is plain linear
+    flat order, so the reshapes from/to the flat vector on either side are
+    free bitcasts.  A (nb, bs) 2-D operand interleaves 8 *different* blocks
+    per tile, and XLA inserted a full-size physical relayout copy (16.8 MB at
+    N=2^22) on BOTH sides of EVERY coarse pass — ~270 MB/iteration of pure
+    copies at the canonical bench, measured via compiled cost analysis."""
     from jax.experimental.pallas import tpu as pltpu
 
     x = x_ref[...]
-    w = x.shape[1]
+    wr, C = x.shape[1], x.shape[2]
     for s, q in steps:
         m = (m_ref[s >> 3].astype(jnp.int32) & (1 << (s & 7))) != 0
-        bit = (jax.lax.broadcasted_iota(jnp.int32, (nb, w), 0) & q) != 0
+        bit = (jax.lax.broadcasted_iota(jnp.int32, (nb, wr, C), 0) & q) != 0
         fwd = pltpu.roll(x, nb - q, 0)
         bwd = pltpu.roll(x, q, 0)
         x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
@@ -358,27 +367,28 @@ def _apply_coarse(v, masks, steps, nb, bs, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # Strip width: wide for DMA efficiency, but the block is (nb, w) and nb
-    # grows with N (nb = N/bs) — at N=2^26 a fixed w=2048 put 20 MB on the
-    # 16 MB VMEM stack (in + out f32 + mask planes, double-buffered).  Halve
-    # w until the resident footprint fits a ~4 MB budget.
+    # Strip width: wide for DMA efficiency, but the block is (nb, wr, 128)
+    # and nb grows with N (nb = N/bs) — at N=2^26 a fixed w=2048 put 20 MB on
+    # the 16 MB VMEM stack (in + out f32 + mask planes, double-buffered).
+    # Halve the strip until the resident footprint fits a ~4 MB budget.
     P = masks.shape[0]
-    w = min(bs, 2048)
-    while w > 128 and 2 * (8 + P) * nb * w > (4 << 20):
-        w //= 2
-    grid = bs // w
+    R, C = bs // 128, 128
+    wr = min(R, 16)  # strip = wr * 128 elements per block
+    while wr > 1 and 2 * (8 + P) * nb * wr * C > (4 << 20):
+        wr //= 2
+    grid = R // wr
     kernel = functools.partial(_coarse_kernel, steps, nb)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((nb, w), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((masks.shape[0], nb, w), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, wr, C), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, nb, wr, C), lambda j: (0, 0, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, w), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, bs), v.dtype),
+        out_specs=pl.BlockSpec((nb, wr, C), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),
         interpret=interpret,
-    )(v.reshape(nb, bs), masks.reshape(masks.shape[0], nb, bs))
+    )(v.reshape(nb, R, C), masks.reshape(P, nb, R, C))
     return out.reshape(-1)
 
 

@@ -165,10 +165,10 @@ def matching_local_parts_rowmajor(
     if butterfly:
         from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu
 
-        def carry(vec, reverse):
+        def carry(vec, reverse, truncate=True):
             if rl.use_tpu_kernel:
-                return apply_butterfly_tpu(rl.plan, vec, reverse=reverse)
-            return apply_butterfly(rl.plan, vec, reverse=reverse)
+                return apply_butterfly_tpu(rl.plan, vec, reverse=reverse, truncate=truncate)
+            return apply_butterfly(rl.plan, vec, reverse=reverse, truncate=truncate)
 
     # z in row layout: the dual value is constant per sublane — no per-nnz gather.
     z_parts = [
@@ -182,29 +182,26 @@ def matching_local_parts_rowmajor(
     reg = jnp.zeros((), dtype=dtype)
     ax_parts = []
     if butterfly:
-        # The carry delivers z in (L, K)-transposed tile order, the exact
-        # shape the fused Pallas kernel streams: Proj + a·x + Σc·x/Σx² in one
-        # VMEM-resident pass per block — no λ gather, no z recompute, and the
-        # 50-step bisection never re-reads HBM (see ops/pallas_matching.py).
-        from dualip_tpu.ops.pallas_matching import fused_tile_eval_T_from_z
+        # The carry delivers z in panel layout (``sparse/rowmajor.py``), and
+        # the fused Pallas kernel projects each tile's region of the carry
+        # buffer IN PLACE (``input_output_aliases``): Proj + a·x + Σc·x/Σx²
+        # in one VMEM-resident pass per block — no λ gather, no z recompute,
+        # no slice/relayout copies, no a·x re-assembly; the bisection never
+        # re-reads HBM (see ops/pallas_matching.py::fused_panel_project).
+        from dualip_tpu.ops.pallas_matching import fused_panel_project
 
-        z_col_cat = carry(z_cat, reverse=False)
-        off = 0
-        for ct, spec in zip(rl.col_tiles_T, bcsc.specs):
-            L, K = ct.a.shape
-            z = z_col_cat[off : off + K * L].reshape(L, K)  # static slice
-            off += K * L
-            ax, obj_p, reg_p = fused_tile_eval_T_from_z(
-                z,
-                ct.a,
-                ct.c,
-                ct.length,
+        buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
+        for pt, spec, off in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets):
+            buf, obj_p, reg_p = fused_panel_project(
+                buf,
+                pt.a,
+                pt.c,
+                pt.length,
+                off,
                 spec.proj_type,
                 spec.proj_params,
-                block_k=min(block_k, K),
                 interpret=not rl.use_tpu_kernel,
             )
-            ax_parts.append(ax.reshape(-1))
             dual_obj = dual_obj + obj_p.astype(dtype)
             reg = reg + (jnp.asarray(gamma, dtype) / 2) * reg_p.astype(dtype)
     else:
@@ -215,11 +212,10 @@ def matching_local_parts_rowmajor(
             ax_parts.append((tile.a * x).reshape(-1))
             reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
             dual_obj = dual_obj + jnp.sum(tile.c * x)
-    ax_cat = jnp.concatenate(ax_parts + sentinel)
 
     # carry 2: a·x back into row tiles; dense lane reduction; (m,) gather.
     if butterfly:
-        ax_row_cat = carry(ax_cat, reverse=True)
+        ax_row_cat = carry(buf, reverse=True)  # buf holds a·x in place
         sums = []
         off = 0
         for rt in rl.row_tiles:
@@ -228,6 +224,7 @@ def matching_local_parts_rowmajor(
             off += R * Lr
             sums.append(jnp.sum(blk, axis=1))
     else:
+        ax_cat = jnp.concatenate(ax_parts + sentinel)
         sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
     sums_cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
     grad = sums_cat[rl.row_pos]
@@ -349,10 +346,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             # fused-kernel grid needs the (per-shard) entity count to divide block_k
             pad = pad * pallas_block_k
         if layout == "butterfly":
-            # butterfly mode runs the fused projection kernel internally, so
-            # the per-shard K needs the same block_k divisibility
+            # butterfly mode runs the fused panel projection kernel, which
+            # reads the carry buffer in 128-column panels — per-shard K must
+            # be a multiple of 128 (see sparse/rowmajor.py::PanelTile)
             n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-            pad = max(pad, n_shards * pallas_block_k)
+            pad = max(pad, n_shards * max(pallas_block_k, 128))
 
         self.bcsc = build_blockcsc(
             args.A,

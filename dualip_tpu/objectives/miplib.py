@@ -205,23 +205,30 @@ class _ButterflySparseOps:
         t_parts = [rt.a * y[rt.row_ids][:, None] for rt in rl.row_tiles]
         t_col = self._carry(jnp.concatenate([p.reshape(-1) for p in t_parts]), reverse=False)
         sums = []
-        off = 0
-        for ct in rl.col_tiles_T:
-            L, K = ct.a.shape
-            sums.append(jnp.sum(t_col[off : off + K * L].reshape(L, K), axis=0))
-            off += K * L
+        for pt, off in zip(rl.col_tiles_T, rl.col_offsets):
+            KP, L, C = pt.a.shape
+            L2 = (1 << max(L - 1, 0).bit_length()) if L > 1 else 1
+            region = t_col[off : off + KP * L2 * C].reshape(KP, L2, C)
+            # lane-reduce the L real lanes; (KP, C) flattens to column order
+            sums.append(jnp.sum(region[:, :L, :], axis=1).reshape(-1))
         sums_cat = jnp.concatenate(sums + [jnp.zeros(1, y.dtype)])
         return sums_cat[self.colpos]
 
     def matvec(self, x: Array) -> Array:
         rl = self.rl
         xg = x[self.col_ids_cat]  # (Σ K,) — an n-scale gather, not nnz-scale
-        u_parts = []
+        pieces = []  # (region_off, flat panel-layout values)
         off = 0
-        for ct in rl.col_tiles_T:
-            L, K = ct.a.shape
-            u_parts.append((ct.a * xg[off : off + K][None, :]).reshape(-1))
-            off += K
+        for pt, roff in zip(rl.col_tiles_T, rl.col_offsets):
+            KP, L, C = pt.a.shape
+            L2 = (1 << max(L - 1, 0).bit_length()) if L > 1 else 1
+            u = pt.a * xg[off : off + KP * C].reshape(KP, 1, C)
+            if L2 > L:  # ghost lanes carry zeros
+                u = jnp.pad(u, ((0, 0), (0, L2 - L), (0, 0)))
+            pieces.append((roff, u.reshape(-1)))
+            off += KP * C
+        # regions are contiguous in descending-L2 offset order
+        u_parts = [p for _, p in sorted(pieces, key=lambda t: t[0])]
         u_row = self._carry(jnp.concatenate(u_parts), reverse=True)
         sums = []
         off = 0

@@ -182,8 +182,14 @@ def _stage_jnp(x: Array, mask: Array, d: int) -> Array:
     return jnp.where(mask != 0, partner, x)
 
 
-def apply_butterfly(plan: BenesPlan, x: Array, reverse: bool = False) -> Array:
-    """Apply the permutation (or its inverse) with pure jnp stages."""
+def apply_butterfly(
+    plan: BenesPlan, x: Array, reverse: bool = False, truncate: bool = True
+) -> Array:
+    """Apply the permutation (or its inverse) with pure jnp stages.
+
+    ``truncate=False`` returns the full padded (N,) vector (spare slots carry
+    zeros) — callers that immediately feed the result back through the
+    network (the in-place projection chain) keep the full buffer."""
     N = plan.masks.shape[1]
     pad = N - x.shape[0]
     v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
@@ -192,6 +198,8 @@ def apply_butterfly(plan: BenesPlan, x: Array, reverse: bool = False) -> Array:
         order = reversed(order)
     for s in order:
         v = _stage_jnp(v, plan.masks[s], plan.dists[s])
+    if not truncate:
+        return v
     return v[: (plan.n_in if reverse else plan.n_out)]
 
 
@@ -398,6 +406,7 @@ def apply_butterfly_tpu(
     reverse: bool = False,
     block_log2: int = DEFAULT_BLOCK_LOG2,
     interpret: bool = False,
+    truncate: bool = True,
 ) -> Array:
     """Blocked application: fine stages in one Pallas kernel per block,
     coarse (cross-block) stages in one fused Pallas pass per side — three
@@ -448,4 +457,6 @@ def apply_butterfly_tpu(
     if post_steps:
         v = _apply_coarse(v, post_m, post_steps, nb, bs, interpret)
 
+    if not truncate:
+        return v
     return v[: (plan.n_in if reverse else plan.n_out)]

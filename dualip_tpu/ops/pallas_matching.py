@@ -46,14 +46,17 @@ DEFAULT_BLOCK_K = 1024
 BISECTION_ITERS = 30
 
 
-def _project_block(z, kind: str, params: dict, length, L: int):
-    """Project a (L, TK) block along axis 0; returns masked x."""
+def _project_block(z, kind: str, params: dict, length, L: int, axis: int = 0):
+    """Project a block along ``axis`` (reducing over the L lanes); returns
+    masked x.  Layouts: (L, TK) with axis=0 (transposed-tile kernels) or
+    (bp, L, 128) with axis=1 (panel kernels); ``length`` must be shaped to
+    broadcast against ``z`` with the L axis kept (e.g. (1, TK) / (bp, 1, 128))."""
     dtype = z.dtype
     zero = jnp.zeros((), dtype=dtype)
 
     if kind in ("identity", "box", "cone"):
         # Clamps are elementwise (axis-independent), so the registered
-        # operators apply unchanged to the (L, TK) layout — one source of
+        # operators apply unchanged to either layout — one source of
         # truth for defaults, 'l'/'u' aliases, and NaN-coded absent bounds.
         from dualip_tpu.projections.base import project
 
@@ -65,13 +68,13 @@ def _project_block(z, kind: str, params: dict, length, L: int):
         # projection of the clamped vector via fixed-trip bisection.
         v = jnp.maximum(z, zero)
         vn = v / radius
-        v_max = jnp.max(vn, axis=0, keepdims=True)
+        v_max = jnp.max(vn, axis=axis, keepdims=True)
         v_shift = vn - v_max
 
         def body(_, lohi):
             lo, hi = lohi
             mid = (lo + hi) * 0.5
-            s = jnp.sum(jnp.maximum(v_shift - mid, zero), axis=0, keepdims=True)
+            s = jnp.sum(jnp.maximum(v_shift - mid, zero), axis=axis, keepdims=True)
             too_high = s > 1.0
             return jnp.where(too_high, mid, lo), jnp.where(too_high, hi, mid)
 
@@ -83,23 +86,23 @@ def _project_block(z, kind: str, params: dict, length, L: int):
 
         if L > 1:
             # top-2 vertex shortcut (reference simplex.py:53-80)
-            i0 = jnp.argmax(vn, axis=0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, vn.shape, 0)
-            masked = jnp.where(lane == i0[None, :], jnp.asarray(-jnp.inf, dtype), vn)
-            v1 = jnp.max(masked, axis=0, keepdims=True)
+            i0 = jnp.argmax(vn, axis=axis, keepdims=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, vn.shape, axis)
+            masked = jnp.where(lane == i0, jnp.asarray(-jnp.inf, dtype), vn)
+            v1 = jnp.max(masked, axis=axis, keepdims=True)
             shortcut = (v_max - v1) > 1.0
-            onehot = jnp.where(lane == i0[None, :], radius, zero)
+            onehot = jnp.where(lane == i0, radius, zero)
             w = jnp.where(shortcut, onehot, w)
 
         if kind == "simplex":  # inequality: feasible columns pass through
-            feasible = jnp.sum(v, axis=0, keepdims=True) <= radius + tol
+            feasible = jnp.sum(v, axis=axis, keepdims=True) <= radius + tol
             w = jnp.where(feasible, v, w)
         x = w
     else:
         raise ValueError(f"Unsupported projection kind {kind!r}")
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-    valid = lane < length  # length is (1, TK), broadcasts over sublanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, axis)
+    valid = lane < length
     return jnp.where(valid, x, zero)
 
 
@@ -177,6 +180,108 @@ def fused_tile_eval_T(
         length.reshape(1, K),
     )
     return ax, obj[0, 0], reg[0, 0]
+
+
+def _panel_kernel(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
+    """Project one (bp, L2, 128) block of the carry buffer IN PLACE.
+
+    ``z`` arrives butterfly-carried in panel layout (``sparse/rowmajor.py::
+    PanelTile``); only the first L lanes are real — the L2-L ghost lanes
+    carry zeros through the network and are rewritten as zeros, so the
+    padded-projection semantics (pads participate as zeros, count = L,
+    reference ``sparse_utils.py:207-214``) are bit-identical to the csc path.
+    """
+    z = z_ref[...][:, :L, :]
+    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+    a = a_ref[...]
+    c = c_ref[...]
+    if L2 == L:
+        o_ref[...] = a * x
+    else:
+        o_ref[:, :L, :] = a * x
+        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        obj_ref[0, 0] = jnp.zeros((), jnp.float32)
+        reg_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    obj_ref[0, 0] += jnp.sum(c * x)
+    reg_ref[0, 0] += jnp.sum(x * x)
+
+
+def fused_panel_project(
+    buf: Array,
+    a_p: Array,
+    c_p: Array,
+    len_p: Array,
+    off: int,
+    kind: str,
+    params_tuple: Tuple = (),
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Project one tile's region of the (N,) carry buffer in place.
+
+    The tile region is rows ``[off/(128·L2), +K/128)`` of the free bitcast
+    view ``buf.reshape(-1, L2, 128)`` (panel layout, offsets descending-L2 —
+    ``sparse/rowmajor.py``).  On TPU the pallas_call ALIASES the buffer
+    (``input_output_aliases``): it reads z from its blocks and writes a·x
+    back over them, leaving every other region untouched — no slice
+    materialization, no relayout copy, no a·x re-assembly.  Returns
+    ``(buf', Σc·x, Σx²)``.
+
+    In interpret mode (CPU tests) aliasing semantics for unvisited blocks
+    are not guaranteed, so the region is sliced, projected non-aliased with
+    the same kernel, and spliced back with a dynamic_update_slice.
+    """
+    import functools as _ft
+
+    KP, L, C = a_p.shape
+    # L2 (the region's lane stride): ghost lanes exist only in the buffer.
+    L2 = 1 << max(L - 1, 0).bit_length() if L > 1 else 1
+    bp = 8
+    while KP % bp:
+        bp //= 2
+    off0 = off // (128 * L2)
+    assert off % (128 * L2) == 0 and off0 % bp == 0, (off, L2, bp)
+    grid = (KP // bp,)
+    kernel = _ft.partial(_panel_kernel, kind, dict(params_tuple), L, L2)
+    obj_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    obj_shapes = [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    ]
+    tile_spec = lambda blk_l: pl.BlockSpec((bp, blk_l, C), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+
+    if interpret:
+        region = jax.lax.dynamic_slice(buf, (off,), (KP * L2 * C,)).reshape(KP, L2, C)
+        out, obj, reg = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[tile_spec(L2), tile_spec(L), tile_spec(L), tile_spec(1)],
+            out_specs=[tile_spec(L2)] + obj_specs,
+            out_shape=[jax.ShapeDtypeStruct((KP, L2, C), buf.dtype)] + obj_shapes,
+            interpret=True,
+        )(region, a_p, c_p, len_p)
+        buf = jax.lax.dynamic_update_slice(buf, out.reshape(-1), (off,))
+        return buf, obj[0, 0], reg[0, 0]
+
+    view = buf.reshape(-1, L2, C)
+    base = off0 // bp
+    view_spec = pl.BlockSpec((bp, L2, C), lambda j: (base + j, 0, 0), memory_space=pltpu.VMEM)
+    out, obj, reg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
+        out_specs=[view_spec] + obj_specs,
+        out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + obj_shapes,
+        input_output_aliases={0: 0},
+        interpret=False,
+    )(view, a_p, c_p, len_p)
+    return out.reshape(-1), obj[0, 0], reg[0, 0]
 
 
 def _fused_kernel_z(kind: str, params: dict, L: int, z_ref, a_ref, c_ref, len_ref, ax_ref, obj_ref, reg_ref):

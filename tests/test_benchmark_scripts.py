@@ -106,3 +106,30 @@ def test_bench_child_mode():
     line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][0]
     data = json.loads(line)
     assert data["iters"] == 5 and np.isfinite(data["dual_objective"])
+
+
+def test_bench_main_mode():
+    """bench.py top-level protocol (adaptive pairs, min-estimator) end to end."""
+    import os
+
+    env = dict(os.environ)
+    env.update(
+        DUALIP_BENCH_PLATFORM="cpu",
+        DUALIP_BENCH_SOURCES="500",
+        DUALIP_BENCH_DESTS="50",
+        DUALIP_BENCH_SPARSITY="0.05",
+        DUALIP_BENCH_ITERS_SMALL="5",
+        DUALIP_BENCH_ITERS_BIG="40",
+        DUALIP_BENCH_REPEATS="1",
+        DUALIP_BENCH_BUDGET_S="500",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+    data = json.loads(line)
+    assert data["metric"] == "matching_iters_per_sec"
+    assert data["unit"] == "iter/s"
+    assert data["value"] > 0

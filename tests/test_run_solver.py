@@ -99,3 +99,26 @@ def test_save_primal_through_run_solver():
         objective_args=ObjectiveArgs(objective_type="matching"),
     )
     assert res.objective_result.primal_var is not None
+
+
+def test_run_solver_butterfly_layout_kwarg():
+    """The butterfly fast path is reachable through the public API
+    (``ObjectiveArgs.objective_kwargs``) and matches the default layout."""
+    base = run_solver(
+        input_args=_matching_args(),
+        solver_args=SolverArgs(max_iter=20, gamma=1e-3),
+        compute_args=ComputeArgs(host_device="cpu"),
+        objective_args=ObjectiveArgs(objective_type="matching"),
+    )
+    bf = run_solver(
+        input_args=_matching_args(),
+        solver_args=SolverArgs(max_iter=20, gamma=1e-3),
+        compute_args=ComputeArgs(host_device="cpu"),
+        objective_args=ObjectiveArgs(
+            objective_type="matching", objective_kwargs={"layout": "butterfly"}
+        ),
+    )
+    np.testing.assert_allclose(bf.dual_objective, base.dual_objective, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(bf.dual_val), np.asarray(base.dual_val), atol=1e-6
+    )

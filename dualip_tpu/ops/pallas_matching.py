@@ -98,6 +98,38 @@ def _project_block(z, kind: str, params: dict, length, L: int, axis: int = 0):
             feasible = jnp.sum(v, axis=axis, keepdims=True) <= radius + tol
             w = jnp.where(feasible, v, w)
         x = w
+    elif kind in ("box_cut", "box_cut_eq"):
+        # Box ∩ sum-cut (dualip_tpu/projections/box_cut.py): bisection on the
+        # shift nu of x*(nu) = clip(z - nu, l, u); same VMEM-resident fixed-
+        # trip shape as the simplex branch.  Padded lanes enter as zeros and
+        # are re-masked after, like every other kind.
+        from dualip_tpu.projections.box import _resolve
+
+        p = dict(params)
+        p.pop("method", None)
+        lt = jnp.asarray(_resolve(p.get("l"), p.get("lower"), 0.0), dtype)
+        ut = jnp.asarray(_resolve(p.get("u"), p.get("upper"), 1.0), dtype)
+        zcut = jnp.asarray(p.get("z", 1.0), dtype)
+        tol = jnp.asarray(1e-6, dtype)
+
+        lo0 = jnp.min(z, axis=axis, keepdims=True) - ut
+        hi0 = jnp.max(z, axis=axis, keepdims=True) - lt
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) * 0.5
+            s = jnp.sum(jnp.clip(z - mid, lt, ut), axis=axis, keepdims=True)
+            too_high = s > zcut
+            return jnp.where(too_high, mid, lo), jnp.where(too_high, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, BISECTION_ITERS, body, (lo0, hi0))
+        nu = (lo + hi) * 0.5
+        w = jnp.clip(z - nu, lt, ut)
+        if kind == "box_cut":  # inequality: box-feasible columns pass through
+            clipped = jnp.clip(z, lt, ut)
+            feasible = jnp.sum(clipped, axis=axis, keepdims=True) <= zcut + tol
+            w = jnp.where(feasible, clipped, w)
+        x = w
     else:
         raise ValueError(f"Unsupported projection kind {kind!r}")
 

@@ -111,6 +111,22 @@ def check_projection_map(projection_map, num_cols=None) -> None:
             z = params.get("z", 1.0)
             if not np.isfinite(z) or z <= 0:
                 raise InputValidationError(f"projection_map[{key!r}]: simplex z must be > 0, got {z}")
+        if entry.proj_type in ("box_cut", "box_cut_eq"):
+            if lo is None or hi is None:
+                raise InputValidationError(
+                    f"projection_map[{key!r}]: box_cut needs finite lower and upper bounds"
+                )
+            if lo > hi:
+                raise InputValidationError(
+                    f"projection_map[{key!r}]: box_cut lower {lo} > upper {hi}"
+                )
+            if method == "duchi":
+                raise InputValidationError(
+                    f"projection_map[{key!r}]: box_cut supports only bisection_search"
+                )
+            z = params.get("z", 1.0)
+            if not np.isfinite(z):
+                raise InputValidationError(f"projection_map[{key!r}]: box_cut z must be finite, got {z}")
 
         idx = np.asarray(entry.indices, dtype=np.int64).reshape(-1)
         if idx.size == 0:

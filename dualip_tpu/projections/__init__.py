@@ -1,7 +1,8 @@
 """Projection operator registry (parity: reference ``projections/__init__.py``).
 
 Importing this package registers all built-in operators: ``box``, ``cone``,
-``simplex`` (inequality), ``simplex_eq`` and ``identity``.
+``simplex`` (inequality), ``simplex_eq``, ``box_cut`` (inequality),
+``box_cut_eq`` and ``identity``.
 """
 
 from dualip_tpu.projections.base import (  # noqa: F401
@@ -17,6 +18,7 @@ from dualip_tpu.projections.base import (  # noqa: F401
 # sibling modules with pkgutil, reference projections/__init__.py:8-16; we
 # keep it explicit so the dependency graph is visible to tooling).
 from dualip_tpu.projections import box as _box  # noqa: F401,E402
+from dualip_tpu.projections import box_cut as _box_cut  # noqa: F401,E402
 from dualip_tpu.projections import cone as _cone  # noqa: F401,E402
 from dualip_tpu.projections import simplex as _simplex  # noqa: F401,E402
 

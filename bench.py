@@ -84,16 +84,19 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     # Pallas kernels run in slow interpret mode off-TPU.
     default_layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
     t0 = time.perf_counter()
+    layout = os.environ.get("DUALIP_BENCH_LAYOUT", default_layout)
+    carry_dtype = os.environ.get("DUALIP_BENCH_CARRY_DTYPE")  # e.g. bfloat16
     obj = MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
         keep_flat_idx=False,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
-        layout=os.environ.get("DUALIP_BENCH_LAYOUT", default_layout),
+        layout=layout,
         keep_col_tiles=False,  # butterfly path never reads them; saves 12 B/nnz HBM
         plan_cache_dir=os.environ.get(
             "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
         ),
+        carry_dtype=carry_dtype if layout == "butterfly" else None,
     )
     build_s = time.perf_counter() - t0
 

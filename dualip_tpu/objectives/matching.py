@@ -145,7 +145,7 @@ def matching_local_parts_pallas(
 
 
 def matching_local_parts_rowmajor(
-    bcsc: BlockCSC, rl, dual_val: Array, gamma, block_k: int = 1024
+    bcsc: BlockCSC, rl, dual_val: Array, gamma, block_k: int = 1024, carry_dtype=None
 ) -> Tuple[Array, Array, Array]:
     """Scatter/gather-free (grad, dual_obj, reg) via the row-major companion
     layout (``dualip_tpu/sparse/rowmajor.py`` — see its docstring for the
@@ -157,6 +157,17 @@ def matching_local_parts_rowmajor(
     ``RowTile.axidx``) or, when the layout was built with
     ``method="butterfly"``, through one Beneš plan forward and reverse
     (``dualip_tpu/ops/butterfly.py`` — ~70× faster than the gathers on TPU).
+
+    ``carry_dtype`` (butterfly only, e.g. ``jnp.bfloat16``): storage dtype of
+    the carry buffer.  The network itself does NO arithmetic on the payload
+    (every stage is a pure exchange), so a narrow carry is lossless for the
+    permutation — the only precision cost is ONE rounding of z before the
+    forward carry and one of a·x after the projection, while the six carry
+    passes halve their HBM traffic.  The projection kernel upcasts each VMEM
+    block to fp32 internally, and the gradient lane-reduction accumulates in
+    the dual's dtype, so objective/gradient error stays at the ~2^-9 relative
+    level of the two roundings.  ``None`` (default) keeps everything in the
+    dual's dtype — bit-identical to the golden-traced path.
     """
     dtype = dual_val.dtype
     neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
@@ -190,6 +201,8 @@ def matching_local_parts_rowmajor(
         # re-reads HBM (see ops/pallas_matching.py::fused_panel_project).
         from dualip_tpu.ops.pallas_matching import fused_panel_project
 
+        if carry_dtype is not None:
+            z_cat = z_cat.astype(carry_dtype)  # fused into the z-write by XLA
         buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
         for pt, spec, off in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets):
             buf, obj_p, reg_p = fused_panel_project(
@@ -222,7 +235,9 @@ def matching_local_parts_rowmajor(
             R, Lr = rt.a.shape
             blk = ax_row_cat[off : off + R * Lr].reshape(R, Lr)  # static slice
             off += R * Lr
-            sums.append(jnp.sum(blk, axis=1))
+            # accumulate in the dual's dtype (narrow-carry mode stores a·x in
+            # carry_dtype; the row sum must not inherit that)
+            sums.append(jnp.sum(blk, axis=1, dtype=dtype))
     else:
         ax_cat = jnp.concatenate(ax_parts + sentinel)
         sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
@@ -311,6 +326,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         layout: str = "csc",
         plan_cache_dir=None,
         keep_col_tiles: bool = True,
+        carry_dtype=None,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -331,6 +347,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             raise ValueError(
                 "layout='butterfly' runs its own fused kernel; use_pallas is the csc-layout flag"
             )
+        if carry_dtype is not None:
+            if layout != "butterfly":
+                raise ValueError("carry_dtype is a butterfly-layout knob")
+            carry_dtype = jax.dtypes.canonicalize_dtype(carry_dtype)
+        self.carry_dtype = carry_dtype
         self.layout = layout
 
         pad = 1
@@ -430,6 +451,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
                 axis = self.mesh.axis_names[0]
                 block_k = self.pallas_block_k
+                carry_dtype = self.carry_dtype
                 rl_specs = jax.tree.map(
                     lambda x: P(axis, *([None] * (x.ndim - 1))), row_layout
                 )
@@ -437,7 +459,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 def local_parts(rl_stacked, dv, gg):
                     rl_local = jax.tree.map(lambda x: x[0], rl_stacked)
                     lgrad, lobj, lreg = matching_local_parts_rowmajor(
-                        bcsc, rl_local, dv, gg, block_k=block_k
+                        bcsc, rl_local, dv, gg, block_k=block_k, carry_dtype=carry_dtype
                     )
                     return (
                         jax.lax.psum(lgrad, axis),
@@ -454,7 +476,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 )(row_layout, dual_val, jnp.asarray(g, dual_val.dtype))
             else:
                 grad, dual_obj, reg = matching_local_parts_rowmajor(
-                    bcsc, row_layout, dual_val, g, block_k=self.pallas_block_k
+                    bcsc,
+                    row_layout,
+                    dual_val,
+                    g,
+                    block_k=self.pallas_block_k,
+                    carry_dtype=self.carry_dtype,
                 )
             if b_vec is not None:
                 return _finalize(grad, dual_obj, reg, dual_val, b_vec)

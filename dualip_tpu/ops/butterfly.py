@@ -325,6 +325,12 @@ def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
     from jax.experimental.pallas import tpu as pltpu
 
     x = x_ref[0]
+    # Narrow-carry mode: HBM holds bf16, but Mosaic has no bf16 rotate —
+    # widen ONCE per block (the roll/select chain then runs in f32) and
+    # narrow once at the store.  Exchanges are exact in either width.
+    narrow = x.dtype == jnp.bfloat16
+    if narrow:
+        x = x.astype(jnp.float32)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     S = len(dists)
@@ -350,7 +356,7 @@ def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
                 fwd = pltpu.roll(x, C - d, 1)
                 bwd = pltpu.roll(x, d, 1)
             x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
-    o_ref[0] = x
+    o_ref[0] = x.astype(jnp.bfloat16) if narrow else x
 
 
 def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
@@ -374,6 +380,9 @@ def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
     from jax.experimental.pallas import tpu as pltpu
 
     x = x_ref[...]
+    narrow = x.dtype == jnp.bfloat16  # see _fine_kernel: widen once per strip
+    if narrow:
+        x = x.astype(jnp.float32)
     wr, C = x.shape[1], x.shape[2]
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (nb, wr, C), 0)
     cur_plane, mi = -1, None
@@ -386,7 +395,7 @@ def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
         fwd = pltpu.roll(x, nb - q, 0)
         bwd = pltpu.roll(x, q, 0)
         x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
-    o_ref[...] = x
+    o_ref[...] = x.astype(jnp.bfloat16) if narrow else x
 
 
 def _apply_coarse(v, masks, steps, nb, bs, interpret):

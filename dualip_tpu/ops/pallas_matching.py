@@ -224,14 +224,20 @@ def _panel_kernel(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref,
     reference ``sparse_utils.py:207-214``) are bit-identical to the csc path.
     """
     z = z_ref[...][:, :L, :]
+    # Narrow-carry mode (buffer in bf16, see matching_local_parts_rowmajor):
+    # upcast the VMEM-resident block so the bisection runs in fp32; only the
+    # HBM storage of z / a·x is narrow.
+    compute = jnp.float32 if z.dtype == jnp.bfloat16 else z.dtype
+    z = z.astype(compute)
     x = _project_block(z, kind, params, len_ref[...], L, axis=1)
-    a = a_ref[...]
-    c = c_ref[...]
+    a = a_ref[...].astype(compute)
+    c = c_ref[...].astype(compute)
+    ax = (a * x).astype(z_ref.dtype)
     if L2 == L:
-        o_ref[...] = a * x
+        o_ref[...] = ax
     else:
-        o_ref[:, :L, :] = a * x
-        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z.dtype)
+        o_ref[:, :L, :] = ax
+        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z_ref.dtype)
 
     @pl.when(pl.program_id(0) == 0)
     def _():

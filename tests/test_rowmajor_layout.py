@@ -174,3 +174,39 @@ def test_butterfly_layout_golden_trace():
     )
     for i, true_val in TRUE_VALUES:
         assert abs(res.dual_objective_log[i - 1] - true_val) < 1e-5
+
+
+def test_butterfly_bf16_carry_close_to_fp32():
+    """carry_dtype=bfloat16: the network moves payload without arithmetic, so
+    the only error is one bf16 rounding of z and one of a·x (~2^-9 relative);
+    the projection kernel upcasts blocks to fp32 internally and the gradient
+    lane-reduction accumulates in fp32."""
+    rng = np.random.default_rng(29)
+    m, n = 40, 300
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_f32 = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="butterfly")
+    o_bf16 = MatchingSolverDualObjectiveFunction(
+        args, gamma=1e-3, layout="butterfly", carry_dtype="bfloat16"
+    )
+    for seed in range(2):
+        lam = jnp.asarray(np.abs(np.random.default_rng(seed).normal(size=m)).astype(np.float32))
+        r1, r2 = o_f32.calculate(lam), o_bf16.calculate(lam)
+        g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+        scale = max(1.0, np.abs(g1).max())
+        # error budget: z is rounded once at bf16's 2^-9 relative of |z| ~
+        # |c|/gamma, and the projection output moves by the same absolute
+        # amount — observed ~1e-2 of gradient scale at gamma=1e-3
+        assert np.allclose(g1, g2, atol=3e-2 * scale), np.abs(g1 - g2).max() / scale
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=2e-2)
+        assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=3e-2)
+
+
+def test_carry_dtype_requires_butterfly_layout():
+    rng = np.random.default_rng(31)
+    A, C, b = _random_problem(rng, 10, 80)
+    pm = create_projection_map("simplex", {"z": 1.0}, 80)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    with pytest.raises(ValueError, match="butterfly"):
+        MatchingSolverDualObjectiveFunction(args, gamma=1e-3, carry_dtype="bfloat16")

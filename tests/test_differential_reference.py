@@ -387,3 +387,51 @@ def test_box_cone_projection_matches_reference(ref):
         out_ref = ref.proj.project(kind, **params)(torch.from_numpy(v))
         out = our_project(kind, **params)(v)
         np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("our_layout", ["coo", "butterfly"])
+def test_miplib_sparse_calculate_matches_reference(ref, our_layout):
+    """Sparse general-LP path: reference torch-COO vs our CSC segment ops
+    (and the butterfly sparse-matvec engine) on the same random sparse A."""
+    torch = ref.torch
+    rng = np.random.default_rng(8)
+    m, n = 12, 40
+    mask = rng.random((m, n)) < 0.3
+    mask[rng.integers(m), :] |= False
+    A = np.where(mask, rng.normal(size=(m, n)), 0.0).astype(np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    b = rng.uniform(0.5, 2.0, m).astype(np.float32)
+    ref_pm, our_pm = _lp_projection_maps(ref, n)
+
+    ref_obj = ref.miplib.MIPLIB2017ObjectiveFunction(
+        ref.miplib.MIPLIBInputArgs(
+            A=torch.from_numpy(A).to_sparse_coo(),
+            c=torch.from_numpy(c),
+            projection_map=ref_pm,
+            b_vec=torch.from_numpy(b),
+            equality_mask=None,
+        )
+    )
+    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction, MIPLIBInputArgs
+    from dualip_tpu.sparse import csc_from_dense
+
+    our_obj = MIPLIB2017ObjectiveFunction(
+        MIPLIBInputArgs(
+            A=csc_from_dense(A), c=c, projection_map=our_pm, b_vec=b, equality_mask=None
+        ),
+        layout=our_layout,
+    )
+
+    for k in range(3):
+        dual = rng.normal(size=m).astype(np.float32) * (k + 1)
+        r_ref = ref_obj.calculate(torch.from_numpy(dual), gamma=1e-2)
+        r = our_obj.calculate(dual, gamma=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(r.dual_gradient), r_ref.dual_gradient.numpy(), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(r.dual_objective), float(r_ref.dual_objective), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(r.reg_penalty), float(r_ref.reg_penalty), rtol=1e-4, atol=1e-4
+        )

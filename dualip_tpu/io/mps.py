@@ -7,6 +7,14 @@ same subset of the MPS standard and the same LP normalization:
   skipped (LP relaxation), reference ``read_mps_data.py:273-319``;
 * row types N (objective), L (<=), G (>=, negated into <= form), E
   (equality, kept with an equality mask), reference ``:504-539``;
+* RANGES (extension — the reference has no RANGES handling and silently
+  mis-parses such files: an unrecognized section header leaves its
+  ``current_section`` pointing at the previous section).  Standard
+  semantics: for a row with RHS value ``r`` and range ``R``, L rows become
+  ``r - |R| <= ax <= r``, G rows ``r <= ax <= r + |R|``, E rows
+  ``r + min(R, 0) <= ax <= r + max(R, 0)``.  Each ranged row's second side
+  is materialized as an extra negated <= row (appended after the base rows,
+  named ``<row>__range``), keeping the normalized ``Ax <= b`` form;
 * bound types LO/LI/UP/UI/FX/FR/BV/MI/PL with the IBM convention for a
   negative-only upper bound (upper-only and ``u >= 0`` ⇒ lower 0; ``u < 0``
   ⇒ lower -inf), default bounds (0, +inf), reference ``:543-598``;
@@ -124,6 +132,7 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
     # coefficient triplets as (row_name, col_name, value)
     coeffs: List[Tuple[str, str, float]] = []
     rhs: Dict[str, float] = {}
+    ranges: Dict[str, float] = {}
     bounds: Dict[str, Dict[str, float]] = {}
     col_seen: Dict[str, None] = {}
     name = path.stem
@@ -138,8 +147,6 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
                 section = parts[0].upper()
                 if section == "NAME" and len(parts) > 1:
                     name = parts[1]
-                if section in ("RANGES",):
-                    raise NotImplementedError("MPS RANGES section is not supported")
                 if section == "ENDATA":
                     break
                 continue
@@ -166,6 +173,10 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
             elif section == "RHS":
                 for i in range(1, len(parts) - 1, 2):
                     rhs[parts[i]] = float(parts[i + 1])
+            elif section == "RANGES":
+                # same (vector-name, row, value [, row, value]) shape as RHS
+                for i in range(1, len(parts) - 1, 2):
+                    ranges[parts[i]] = float(parts[i + 1])
             elif section == "BOUNDS":
                 btype = parts[0].upper()
                 var = parts[2]
@@ -237,10 +248,49 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
             av = merged
         a_rows, a_cols, a_vals = ar.tolist(), ac.tolist(), av.tolist()
 
+    # --- RANGES: materialize the second side of each ranged row ------------
+    # Stored orientation is a'·x <= b' (G rows already negated), so the
+    # opposite side of an L/G range is uniformly  -a'·x <= -b' + |R|.
+    # Ranged E rows stop being equalities: a·x <= r + max(R,0) replaces the
+    # stored row and -a·x <= -(r + min(R,0)) is appended.
+    n_ranged = 0
+    if ranges:
+        ar = np.asarray(a_rows, dtype=np.int64)
+        ac = np.asarray(a_cols, dtype=np.int64)
+        av = np.asarray(a_vals, dtype=np.float64)
+        new_bs: List[float] = []
+        for rname, R in sorted(ranges.items(), key=lambda kv: row_idx.get(kv[0], -1)):
+            if rname not in row_idx:
+                raise ValueError(f"RANGES references unknown row {rname!r}")
+            rtype = row_types[rname]
+            if R == 0.0 and rtype == "E":
+                continue  # zero range keeps the row an equality
+            i = row_idx[rname]
+            if rtype == "E":
+                r0 = rhs.get(rname, 0.0)
+                equality_mask[i] = False
+                b[i] = r0 + max(R, 0.0)
+                new_b = -(r0 + min(R, 0.0))
+            else:
+                new_b = -b[i] + abs(R)
+            sel = ar == i
+            k = m + len(new_bs)
+            a_rows.extend([k] * int(sel.sum()))
+            a_cols.extend(ac[sel].tolist())
+            a_vals.extend((-av[sel]).tolist())
+            new_bs.append(new_b)
+            row_order.append(f"{rname}__range")
+        if new_bs:
+            n_ranged = len(new_bs)
+            b = np.concatenate([b, np.asarray(new_bs, dtype=np.float64)])
+            equality_mask = np.concatenate([equality_mask, np.zeros(n_ranged, dtype=bool)])
+            m = len(b)
+
     # Resolve bounds with the reference's conventions (read_mps_data.py:556-588).
     lower = np.zeros(n, dtype=np.float64)
     upper = np.full(n, np.inf, dtype=np.float64)
     stats = {k: 0 for k in ("binary", "free", "fixed", "range", "lower_only", "upper_only", "default")}
+    stats["ranged_rows"] = n_ranged
     for j, cname in enumerate(col_names):
         cb = bounds.get(cname)
         if cb is None:

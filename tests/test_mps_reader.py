@@ -102,10 +102,92 @@ def test_gzip_roundtrip(tmp_path):
     assert lp.shape == (3, 3)
 
 
-def test_ranges_not_supported(tmp_path):
+RANGES_MPS = """NAME          rangetest
+ROWS
+ N  obj
+ L  r1
+ G  r2
+ E  r3
+ E  r4
+ E  r5
+COLUMNS
+    x         obj       1.0        r1        1.0
+    x         r2        1.0        r3        1.0
+    y         obj       2.0        r1        1.0
+    y         r2       -1.0        r4        1.0
+    y         r5        1.0
+RHS
+    RHS       r1        5.0        r2        1.0
+    RHS       r3        2.0        r4        1.0
+    RHS       r5        7.0
+RANGES
+    RNG       r1        2.0        r2        3.0
+    RNG       r3        1.5        r4       -0.5
+    RNG       r5        0.0
+BOUNDS
+ FR BND       x
+ FR BND       y
+ENDATA
+"""
+
+
+def test_ranges_expand_to_two_sided_rows(tmp_path):
+    """RANGES semantics (extension; the reference mis-parses such files):
+    L: r-|R| <= ax <= r;  G: r <= ax <= r+|R|;  E: r+min(R,0) <= ax <= r+max(R,0);
+    zero range on an E row keeps it an equality."""
     p = tmp_path / "r.mps"
-    p.write_text("NAME x\nROWS\n N obj\nRANGES\nENDATA\n")
-    with pytest.raises(NotImplementedError):
+    p.write_text(RANGES_MPS)
+    lp = read_mps_file(str(p))
+    m, n = lp.shape
+    assert n == 2
+    # 5 base rows + 4 range rows (r5 has zero range -> stays equality)
+    assert m == 9
+    assert lp.stats["ranged_rows"] == 4
+    assert [nm for nm in lp.row_names if nm.endswith("__range")] == [
+        "r1__range", "r2__range", "r3__range", "r4__range"]
+    assert lp.equality_mask.sum() == 1  # only r5
+
+    A = np.zeros((m, n))
+    A[lp.a_rows, lp.a_cols] = lp.a_vals
+    xi, yi = lp.col_names.index("x"), lp.col_names.index("y")
+
+    def feasible(x, y):
+        v = np.zeros(n); v[xi], v[yi] = x, y
+        ineq = ~lp.equality_mask
+        return (A[ineq] @ v <= lp.b[ineq] + 1e-9).all() and np.allclose(
+            A[lp.equality_mask] @ v, lp.b[lp.equality_mask], atol=1e-9)
+
+    def math_feasible(x, y):
+        return (3.0 <= x + y <= 5.0 and 1.0 <= x - y <= 4.0
+                and 2.0 <= x <= 3.5 and 0.5 <= y <= 1.0 and y == 7.0)
+
+    rng = np.random.default_rng(0)
+    # y == 7 never holds on these samples, so force the r5 value explicitly:
+    # drop r5 from both sides for the sampled comparison
+    keep = np.array([nm != "r5" for nm in lp.row_names])
+    A2, b2, eq2 = A[keep], lp.b[keep], lp.equality_mask[keep]
+
+    def feasible2(x, y):
+        v = np.zeros(n); v[xi], v[yi] = x, y
+        return (A2[~eq2] @ v <= b2[~eq2] + 1e-9).all()
+
+    def math_feasible2(x, y):
+        return (3.0 <= x + y <= 5.0 and 1.0 <= x - y <= 4.0
+                and 2.0 <= x <= 3.5 and 0.5 <= y <= 1.0)
+
+    agree = 0
+    for _ in range(500):
+        x, y = rng.uniform(1.0, 4.5), rng.uniform(0.0, 1.5)
+        assert feasible2(x, y) == math_feasible2(x, y), (x, y)
+        agree += feasible2(x, y)
+    assert 0 < agree < 500  # both classes sampled
+
+
+def test_ranges_unknown_row_raises(tmp_path):
+    p = tmp_path / "r.mps"
+    p.write_text("NAME x\nROWS\n N obj\n L r1\nCOLUMNS\n    x obj 1.0 r1 1.0\n"
+                 "RANGES\n    RNG nosuch 1.0\nENDATA\n")
+    with pytest.raises(ValueError, match="unknown row"):
         read_mps_file(str(p))
 
 

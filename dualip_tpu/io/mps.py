@@ -7,6 +7,10 @@ same subset of the MPS standard and the same LP normalization:
   skipped (LP relaxation), reference ``read_mps_data.py:273-319``;
 * row types N (objective), L (<=), G (>=, negated into <= form), E
   (equality, kept with an equality mask), reference ``:504-539``;
+* OBJSENSE (extension, same reference mis-parse caveat as RANGES): ``MAX``/
+  ``MAXIMIZE`` negates ``c`` so the normalized LP is always a minimization;
+  ``MPSLinearProgram.objective_sense`` records the original sense (recover
+  the original optimum as ``-dual_objective`` when it is ``"max"``);
 * RANGES (extension — the reference has no RANGES handling and silently
   mis-parses such files: an unrecognized section header leaves its
   ``current_section`` pointing at the previous section).  Standard
@@ -59,6 +63,7 @@ class MPSLinearProgram:
     row_names: List[str] = field(default_factory=list)
     col_names: List[str] = field(default_factory=list)
     stats: Dict[str, int] = field(default_factory=dict)
+    objective_sense: str = "min"  # original sense; c is always min-normalized
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -136,6 +141,7 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
     bounds: Dict[str, Dict[str, float]] = {}
     col_seen: Dict[str, None] = {}
     name = path.stem
+    sense = "min"
 
     section = None
     with opener(path, "rt", encoding="ISO-8859-1") as fh:
@@ -147,11 +153,16 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
                 section = parts[0].upper()
                 if section == "NAME" and len(parts) > 1:
                     name = parts[1]
+                if section == "OBJSENSE" and len(parts) > 1:
+                    sense = parts[1].upper()  # one-line form: OBJSENSE MAX
                 if section == "ENDATA":
                     break
                 continue
 
             parts = raw.split()
+            if section == "OBJSENSE":
+                sense = parts[0].upper()
+                continue
             if section == "ROWS":
                 rtype, rname = parts[0].upper(), parts[1]
                 if rtype == "N":
@@ -203,6 +214,12 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
 
     if obj_row is None:
         raise ValueError("MPS file has no objective (N) row")
+    if sense in ("MAX", "MAXIMIZE"):
+        sense = "max"
+    elif sense in ("MIN", "MINIMIZE", "min"):
+        sense = "min"
+    else:
+        raise ValueError(f"Unknown OBJSENSE {sense!r}")
 
     col_names = sorted(col_seen)
     col_idx = {c: i for i, c in enumerate(col_names)}
@@ -329,6 +346,9 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
             f"{n} variables, {len(a_vals)} nonzeros, bounds {stats}"
         )
 
+    if sense == "max":
+        c = -c  # normalize to minimization; original optimum = -dual_objective
+
     return MPSLinearProgram(
         name=name,
         c=c,
@@ -342,4 +362,5 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
         row_names=row_order,
         col_names=col_names,
         stats=stats,
+        objective_sense=sense,
     )

@@ -280,3 +280,29 @@ def test_v150d30_butterfly_layout_agrees():
         bf, jnp.zeros(lp.shape[0], jnp.float32)
     )
     assert np.isclose(float(s1.dual_objective), float(s2.dual_objective), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("form", ["block", "inline"])
+def test_objsense_max_negates_c(tmp_path, form):
+    """OBJSENSE MAX (extension) normalizes to minimization; the original
+    optimum is -dual_objective."""
+    sense = "OBJSENSE\n    MAXIMIZE\n" if form == "block" else "OBJSENSE MAX\n"
+    text = (
+        "NAME maxtest\n" + sense +
+        "ROWS\n N  obj\n L  r1\nCOLUMNS\n"
+        "    x         obj       3.0        r1        1.0\n"
+        "    y         obj       1.0        r1        1.0\n"
+        "RHS\n    RHS       r1        2.0\nENDATA\n"
+    )
+    p = tmp_path / "max.mps"
+    p.write_text(text)
+    lp = read_mps_file(str(p))
+    assert lp.objective_sense == "max"
+    np.testing.assert_allclose(lp.c, [-3.0, -1.0])  # min-normalized
+
+    # default OBJSENSE is min and leaves c untouched
+    p2 = tmp_path / "min.mps"
+    p2.write_text(text.replace(sense, ""))
+    lp2 = read_mps_file(str(p2))
+    assert lp2.objective_sense == "min"
+    np.testing.assert_allclose(lp2.c, [3.0, 1.0])

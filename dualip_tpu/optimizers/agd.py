@@ -138,6 +138,8 @@ class _Carry(NamedTuple):
     max_step_size: Array
     last_grad: Array  # gradient evaluated at this iteration's x (pre-update)
     last_x: Array  # the x the last objective evaluation used (for save_primal)
+    beta_idx: Array  # iterations since the last adaptive restart (int32)
+    prev_obj: Array  # previous dual objective (function-restart test)
 
 
 class AcceleratedGradientDescent:
@@ -168,9 +170,12 @@ class AcceleratedGradientDescent:
         verbose: bool = False,
         stop_condition: Optional[Callable[[int, Array], bool]] = None,
         stop_check_every: int = 0,
+        restart: Optional[str] = None,
     ):
         if gamma_decay_type not in (None, "step"):
             raise ValueError(f"Unsupported gamma decay type: {gamma_decay_type}")
+        if restart not in (None, "gradient", "function"):
+            raise ValueError(f"Unsupported restart scheme: {restart!r}")
         self.max_iter = max_iter
         self.gamma = gamma
         self.initial_step_size = float(initial_step_size)
@@ -195,6 +200,16 @@ class AcceleratedGradientDescent:
         self.stop_check_every = int(stop_check_every)
         if stop_condition is not None and self.stop_check_every <= 0:
             self.stop_check_every = 100
+        # Adaptive restart (extension; O'Donoghue & Candès 2015, "Adaptive
+        # restart for accelerated gradient schemes"): Nesterov momentum is
+        # optimal for plain smooth problems but OSCILLATES on strongly-
+        # concave-ish duals (the ridge gives g_gamma curvature); resetting
+        # the beta sequence when momentum turns against the ascent direction
+        # ("gradient" scheme: <grad, y_k - y_{k-1}> < 0) or when the dual
+        # objective drops ("function" scheme) restores linear convergence.
+        # Off by default — the reference has no restart and the golden traces
+        # pin the plain beta sequence.
+        self.restart = restart
         # Compiled chunk-runner cache keyed per objective identity; also holds
         # which ObjectiveResult fields the objective produces (trace-time).
         self._jit_cache = {}
@@ -232,6 +247,12 @@ class AcceleratedGradientDescent:
             fields_present[name] = val is not None
             return jnp.asarray(val, dtype=dtype) if val is not None else nan
 
+        restart = self.restart
+        if restart is not None:
+            # restart mode indexes the beta sequence by iterations-since-
+            # restart (carried), not by absolute iteration number
+            beta_full = jnp.asarray(self.beta_seq)
+
         def step(params, carry: _Carry, it_num: Array, beta: Array):
             res = self._calc(f, params, carry.x, carry.gamma)
             grad = res.dual_gradient
@@ -239,6 +260,17 @@ class AcceleratedGradientDescent:
                 grad, carry.y, carry.ss_state, self.initial_step_size, carry.max_step_size
             )
             y_new = project_on_nn_cone(carry.x + grad * step_size, equality_mask)
+            beta_idx, prev_obj = carry.beta_idx, carry.prev_obj
+            if restart is not None:
+                if restart == "gradient":
+                    # ascent form of O'Donoghue-Candès: momentum against the
+                    # gradient direction => kill it this update
+                    bad = jnp.vdot(grad, y_new - carry.y) < 0
+                else:  # "function": the dual objective went down
+                    bad = jnp.asarray(res.dual_objective, dtype) < prev_obj
+                beta = jnp.where(bad, jnp.zeros((), beta_full.dtype), beta_full[beta_idx])
+                beta_idx = jnp.where(bad, 1, beta_idx + 1)
+                prev_obj = jnp.asarray(res.dual_objective, dtype)
             x_new = y_new * (1.0 - beta) + carry.y * beta
             gamma, max_step = carry.gamma, carry.max_step_size
             if decay:
@@ -263,6 +295,8 @@ class AcceleratedGradientDescent:
                 max_step_size=max_step,
                 last_grad=grad,
                 last_x=carry.x,
+                beta_idx=beta_idx,
+                prev_obj=prev_obj,
             )
             return new_carry, metrics
 
@@ -311,6 +345,8 @@ class AcceleratedGradientDescent:
             max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
             last_grad=jnp.zeros(m, dtype=dtype),
             last_x=x0,
+            beta_idx=jnp.zeros((), jnp.int32),
+            prev_obj=jnp.asarray(-jnp.inf, dtype=dtype),
         )
         beta_all = jnp.asarray(self.beta_seq)
         it_all = jnp.arange(1, self.max_iter + 1, dtype=jnp.int32)

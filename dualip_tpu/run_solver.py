@@ -107,6 +107,7 @@ def run_solver(
             gamma_decay_type=solver_args.gamma_decay_type,
             gamma_decay_params=solver_args.gamma_decay_params,
             save_primal=solver_args.save_primal,
+            restart=solver_args.restart,
         )
 
         # Warm start (reference run_solver.py:127-132) + optional step-size

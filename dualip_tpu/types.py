@@ -28,6 +28,10 @@ class SolverArgs:
     gamma_decay_type: Optional[Literal["step"]] = None
     gamma_decay_params: Optional[dict] = None
     save_primal: bool = False
+    # Extension (no reference counterpart): adaptive Nesterov restart —
+    # None (reference behavior, golden-traced), "gradient", or "function"
+    # (O'Donoghue & Candès 2015; see optimizers/agd.py).
+    restart: Optional[Literal["gradient", "function"]] = None
 
 
 @dataclass

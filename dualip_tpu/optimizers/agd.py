@@ -171,6 +171,7 @@ class AcceleratedGradientDescent:
         stop_condition: Optional[Callable[[int, Array], bool]] = None,
         stop_check_every: int = 0,
         restart: Optional[str] = None,
+        restart_min_spacing: int = 50,
     ):
         if gamma_decay_type not in (None, "step"):
             raise ValueError(f"Unsupported gamma decay type: {gamma_decay_type}")
@@ -209,7 +210,20 @@ class AcceleratedGradientDescent:
         # objective drops ("function" scheme) restores linear convergence.
         # Off by default — the reference has no restart and the golden traces
         # pin the plain beta sequence.
+        #
+        # ``restart_min_spacing``: minimum iterations between restarts.  On
+        # polyhedral LP duals (non-strongly-concave, dual-cone projection,
+        # secant step noise) the raw test can fire almost every iteration and
+        # degenerate the method to UNACCELERATED ascent — measured on the
+        # bundled MIPLIB instance (iterations to reach dual 27.1; plain =
+        # 2151): gradient restart, spacing 10 -> 4317, spacing 50 -> 2151
+        # (harmless); function restart stalls even at spacing 100 (6750 and
+        # final 27.57 < 27.62).  The default spacing 50 makes "gradient" safe
+        # on LP duals while keeping the strongly-concave win intact (restart
+        # periods there are ~pi*sqrt(kappa), e.g. ~99 at kappa=1e3); prefer
+        # "gradient" — use "function" only on smooth strongly-concave duals.
         self.restart = restart
+        self.restart_min_spacing = int(restart_min_spacing)
         # Compiled chunk-runner cache keyed per objective identity; also holds
         # which ObjectiveResult fields the objective produces (trace-time).
         self._jit_cache = {}
@@ -268,6 +282,7 @@ class AcceleratedGradientDescent:
                     bad = jnp.vdot(grad, y_new - carry.y) < 0
                 else:  # "function": the dual objective went down
                     bad = jnp.asarray(res.dual_objective, dtype) < prev_obj
+                bad = jnp.logical_and(bad, beta_idx >= self.restart_min_spacing)
                 beta = jnp.where(bad, jnp.zeros((), beta_full.dtype), beta_full[beta_idx])
                 beta_idx = jnp.where(bad, 1, beta_idx + 1)
                 prev_obj = jnp.asarray(res.dual_objective, dtype)

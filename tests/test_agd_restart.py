@@ -108,3 +108,23 @@ def test_restart_none_is_bit_identical():
 def test_invalid_restart_scheme_raises():
     with pytest.raises(ValueError, match="restart"):
         AcceleratedGradientDescent(max_iter=10, gamma=None, restart="bogus")
+
+
+def test_restart_spacing_guards_lp_duals():
+    """The spacing floor prevents restart from degenerating to unaccelerated
+    ascent on non-strongly-concave duals: with spacing 1 the function scheme
+    fires constantly and falls behind plain acceleration; with the default
+    spacing the gradient scheme never loses to plain on the quadratic."""
+    obj = IllConditionedQuadratic(kappa=200.0, m=32, seed=3)
+
+    def final(restart, spacing):
+        solver = AcceleratedGradientDescent(
+            max_iter=400, gamma=None, initial_step_size=1e-4, max_step_size=1.0,
+            restart=restart, restart_min_spacing=spacing,
+        )
+        return float(
+            solver.maximize(obj, jnp.zeros(32, jnp.float32)).dual_objective_log[-1]
+        )
+
+    plain = final(None, 50)
+    assert final("gradient", 50) >= plain - 1e-4

@@ -163,7 +163,11 @@ def main():
     # and slopes came out negative.
     n_small = int(os.environ.get("DUALIP_BENCH_ITERS_SMALL", 500))
     n_big = int(os.environ.get("DUALIP_BENCH_ITERS_BIG", 5000))
-    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 4))  # budget-gated
+    # Budget-gated: more (small, big) pairs = more congestion windows sampled
+    # on the shared pool (observed ~100x rate swings between windows); the
+    # loop stops at DUALIP_BENCH_BUDGET_S regardless, so a high repeat count
+    # only helps on a quiet pool.
+    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 8))
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 
     budget_s = float(os.environ.get("DUALIP_BENCH_BUDGET_S", 1800))

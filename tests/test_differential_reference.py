@@ -435,3 +435,50 @@ def test_miplib_sparse_calculate_matches_reference(ref, our_layout):
         np.testing.assert_allclose(
             float(r.reg_penalty), float(r_ref.reg_penalty), rtol=1e-4, atol=1e-4
         )
+
+
+def test_mps_reader_matches_reference_on_bundled_instance(ref):
+    """Parse the bundled MIPLIB instance with BOTH readers and compare the
+    normalized LP piece by piece (c, b, equality mask, the full coefficient
+    matrix, and variable bounds — ours NaN-codes absent sides where the
+    reference emits ±inf)."""
+    import importlib.util
+
+    bundled = Path(__file__).resolve().parents[1] / "examples" / "miplib_2017" / "v150d30-2hopcds.mps.gz"
+    if not bundled.exists():
+        pytest.skip("bundled MIPLIB instance missing")
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_read_mps", REF / "examples" / "miplib_2017" / "read_mps_data.py"
+    )
+    ref_mps = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, str(REF / "src"))
+    try:
+        spec.loader.exec_module(ref_mps)
+    finally:
+        sys.path.remove(str(REF / "src"))
+
+    ref_lp = ref_mps.read_mps_file(str(bundled)).to_dualip_format(return_sparse=False)
+    from dualip_tpu.io.mps import read_mps_file
+
+    lp = read_mps_file(str(bundled))
+
+    np.testing.assert_allclose(lp.c, ref_lp.C.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(lp.b, ref_lp.b_vec.numpy(), rtol=1e-6)
+    if ref_lp.equality_mask is None:
+        assert not lp.equality_mask.any()
+    else:
+        np.testing.assert_array_equal(lp.equality_mask, ref_lp.equality_mask.numpy())
+
+    m, n = lp.shape
+    A = np.zeros((m, n), dtype=np.float64)
+    A[lp.a_rows, lp.a_cols] = lp.a_vals
+    np.testing.assert_allclose(A, ref_lp.A.numpy(), rtol=1e-6, atol=1e-7)
+
+    # bounds: reference var_bounds are (l, u) with ±inf; ours NaN-code them
+    ref_l = np.array([b[0] for b in ref_lp.var_bounds], dtype=np.float64)
+    ref_u = np.array([b[1] for b in ref_lp.var_bounds], dtype=np.float64)
+    ours_l = np.where(np.isnan(lp.lower), -np.inf, lp.lower)
+    ours_u = np.where(np.isnan(lp.upper), np.inf, lp.upper)
+    np.testing.assert_allclose(ours_l, ref_l)
+    np.testing.assert_allclose(ours_u, ref_u)

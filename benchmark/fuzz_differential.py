@@ -16,36 +16,14 @@ Requires the reference checkout (``/root/reference`` or
 from __future__ import annotations
 
 import argparse
-import os
 import sys
-import types
 from pathlib import Path
 
 HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE.parent))
+sys.path.insert(0, str(HERE))
 
-REF = Path(os.environ.get("DUALIP_REFERENCE_PATH", "/root/reference"))
-
-
-def _load_reference():
-    try:
-        import mlflow  # noqa: F401
-    except ImportError:
-        stub = types.ModuleType("mlflow")
-        for name in ("log_param", "log_params", "log_metric", "log_metrics",
-                     "set_tracking_uri", "set_experiment", "start_run", "end_run"):
-            setattr(stub, name, lambda *a, **k: None)
-        sys.modules["mlflow"] = stub
-    sys.path.insert(0, str(REF / "src"))
-    import dualip.objectives.matching as ref_matching
-    import dualip.objectives.miplib as ref_miplib
-    import dualip.optimizers.agd as ref_agd
-    import dualip.projections  # noqa: F401
-    import dualip.projections.base as ref_proj
-
-    return types.SimpleNamespace(
-        matching=ref_matching, miplib=ref_miplib, agd=ref_agd, proj=ref_proj
-    )
+from reference_loader import DEFAULT_REFERENCE_PATH, load_reference, reference_available
 
 
 def main():
@@ -56,8 +34,8 @@ def main():
     ap.add_argument("--rtol", type=float, default=2e-4)
     cfg = ap.parse_args()
 
-    if not (REF / "src" / "dualip").exists():
-        raise SystemExit(f"reference not found at {REF}")
+    if not reference_available():
+        raise SystemExit(f"reference not found at {DEFAULT_REFERENCE_PATH}")
 
     import jax
 
@@ -67,7 +45,7 @@ def main():
     import torch
     import jax.numpy as jnp
 
-    ref = _load_reference()
+    ref = load_reference()
     from dualip_tpu.objectives.matching import (
         MatchingInputArgs,
         MatchingSolverDualObjectiveFunction,

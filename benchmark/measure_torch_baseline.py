@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import time
-import types
 from pathlib import Path
 
 import numpy as np
@@ -29,17 +28,7 @@ sys.path.insert(0, str(HERE.parent))
 sys.path.insert(0, str(HERE))
 
 
-def _inject_mlflow_stub():
-    try:
-        import mlflow  # noqa: F401
-
-        return
-    except ImportError:
-        pass
-    stub = types.ModuleType("mlflow")
-    for name in ("log_param", "log_metric", "set_tracking_uri", "set_experiment", "start_run"):
-        setattr(stub, name, lambda *a, **k: None)
-    sys.modules["mlflow"] = stub
+from reference_loader import inject_mlflow_stub as _inject_mlflow_stub  # noqa: E402
 
 
 def main():

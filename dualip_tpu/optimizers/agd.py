@@ -292,6 +292,12 @@ class AcceleratedGradientDescent:
                 do = (it_num % decay_steps) == 0
                 gamma = jnp.where(do, gamma * decay_factor, gamma)
                 max_step = jnp.where(do, step_size * decay_factor, max_step)
+                if restart == "function":
+                    # Shrinking gamma legitimately lowers g_gamma, so the
+                    # next iteration's objective drop is the decay, not
+                    # oscillation — disarm the function-restart test across
+                    # the boundary.
+                    prev_obj = jnp.where(do, jnp.asarray(-jnp.inf, dtype), prev_obj)
             metrics = _Metrics(
                 dual_objective=jnp.asarray(res.dual_objective, dtype=dtype),
                 step_size=jnp.asarray(step_size, dtype=dtype),

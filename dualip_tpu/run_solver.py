@@ -108,6 +108,7 @@ def run_solver(
             gamma_decay_params=solver_args.gamma_decay_params,
             save_primal=solver_args.save_primal,
             restart=solver_args.restart,
+            restart_min_spacing=solver_args.restart_min_spacing,
         )
 
         # Warm start (reference run_solver.py:127-132) + optional step-size

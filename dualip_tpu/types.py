@@ -30,8 +30,11 @@ class SolverArgs:
     save_primal: bool = False
     # Extension (no reference counterpart): adaptive Nesterov restart —
     # None (reference behavior, golden-traced), "gradient", or "function"
-    # (O'Donoghue & Candès 2015; see optimizers/agd.py).
+    # (O'Donoghue & Candès 2015; see optimizers/agd.py).  restart_min_spacing
+    # rate-limits restarts (minimum iterations between resets) so the schemes
+    # stay safe on polyhedral LP duals.
     restart: Optional[Literal["gradient", "function"]] = None
+    restart_min_spacing: int = 50
 
 
 @dataclass

@@ -128,3 +128,60 @@ def test_restart_spacing_guards_lp_duals():
 
     plain = final(None, 50)
     assert final("gradient", 50) >= plain - 1e-4
+
+
+def test_spacing_gate_is_wired():
+    """Direct mechanism test: an effectively-infinite spacing blocks every
+    restart (trace bit-identical to plain), while spacing 1 lets restarts
+    fire (trace differs)."""
+    obj = IllConditionedQuadratic(kappa=400.0, m=16, seed=2)
+    kw = dict(max_iter=200, gamma=None, initial_step_size=1e-4, max_step_size=1.0)
+
+    def log(restart, spacing):
+        solver = AcceleratedGradientDescent(**kw, restart=restart,
+                                            restart_min_spacing=spacing)
+        return np.asarray(
+            solver.maximize(obj, jnp.zeros(16, jnp.float32)).dual_objective_log
+        )
+
+    plain = log(None, 50)
+    np.testing.assert_array_equal(log("gradient", 10**9), plain)  # gate blocks all
+    assert not np.array_equal(log("gradient", 1), plain)  # restarts actually fire
+
+
+def test_function_restart_ignores_gamma_decay_boundaries():
+    """Shrinking gamma legitimately lowers g_gamma; the function scheme must
+    not read that as oscillation.  With decay_steps >= spacing, a spurious
+    boundary restart would reset momentum every decay step — the trace must
+    instead track the no-restart trace closely on a well-behaved LP."""
+    from dualip_tpu.objectives.matching import (
+        MatchingInputArgs,
+        MatchingSolverDualObjectiveFunction,
+    )
+    from dualip_tpu.projections import create_projection_map
+    from dualip_tpu.sparse import csc_from_dense
+
+    rng = np.random.default_rng(9)
+    m, n = 10, 60
+    dense = np.where(rng.random((m, n)) < 0.5, rng.uniform(0.2, 1.0, (m, n)), 0.0)
+    for j in range(n):
+        if not dense[:, j].any():
+            dense[rng.integers(m), j] = 0.5
+    dense = dense.astype(np.float32)
+    cvals = np.where(dense != 0, -rng.uniform(0.1, 1.0, (m, n)), 0.0).astype(np.float32)
+    b = rng.uniform(0.3, 1.5, m).astype(np.float32)
+    args = MatchingInputArgs(
+        A=csc_from_dense(dense), c=csc_from_dense(cvals),
+        projection_map=create_projection_map("simplex", {"z": 1.0}, n), b_vec=b)
+    obj = MatchingSolverDualObjectiveFunction(args, gamma=5e-2)
+    kw = dict(max_iter=240, gamma=5e-2, initial_step_size=1e-3, max_step_size=0.1,
+              gamma_decay_type="step",
+              gamma_decay_params={"decay_steps": 60, "decay_factor": 0.5})
+
+    def final(restart, spacing=50):
+        solver = AcceleratedGradientDescent(**kw, restart=restart,
+                                            restart_min_spacing=spacing)
+        return float(solver.maximize(obj, jnp.zeros(m, jnp.float32)).dual_objective)
+
+    plain = final(None)
+    assert final("function") >= plain - 5e-3, (final("function"), plain)

@@ -22,60 +22,29 @@ registry (projections/base.py:40-57).
 
 from __future__ import annotations
 
-import os
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
 import pytest
 
-REF = Path(os.environ.get("DUALIP_REFERENCE_PATH", "/root/reference"))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "benchmark"))
+from reference_loader import (  # noqa: E402  (shared oracle loader)
+    DEFAULT_REFERENCE_PATH as REF,
+    load_reference,
+    reference_available,
+)
 
 pytestmark = pytest.mark.skipif(
-    not (REF / "src" / "dualip").exists(),
+    not reference_available(),
     reason="reference checkout not available (set DUALIP_REFERENCE_PATH)",
 )
 
 
 @pytest.fixture(scope="module")
 def ref():
-    torch = pytest.importorskip("torch")
-    # The reference imports mlflow unconditionally (utils/mlflow_utils.py:5);
-    # stub it when absent so the import can't fail on this image.
-    try:
-        import mlflow  # noqa: F401
-    except ImportError:
-        stub = types.ModuleType("mlflow")
-        for name in (
-            "log_param",
-            "log_params",
-            "log_metric",
-            "log_metrics",
-            "set_tracking_uri",
-            "set_experiment",
-            "start_run",
-            "end_run",
-            "active_run",
-        ):
-            setattr(stub, name, lambda *a, **k: None)
-        sys.modules["mlflow"] = stub
-    sys.path.insert(0, str(REF / "src"))
-    try:
-        import dualip.objectives.matching as ref_matching
-        import dualip.objectives.miplib as ref_miplib
-        import dualip.optimizers.agd as ref_agd
-        import dualip.projections as ref_projections  # noqa: F401  (registers ops)
-        import dualip.projections.base as ref_proj_base
-    finally:
-        sys.path.remove(str(REF / "src"))
-    return types.SimpleNamespace(
-        torch=torch,
-        matching=ref_matching,
-        miplib=ref_miplib,
-        agd=ref_agd,
-        proj=ref_proj_base,
-    )
+    pytest.importorskip("torch")
+    return load_reference()
 
 
 def _quiet(i, r):  # silence the reference's per-iteration print callback

@@ -151,19 +151,9 @@ def test_ranges_expand_to_two_sided_rows(tmp_path):
     A[lp.a_rows, lp.a_cols] = lp.a_vals
     xi, yi = lp.col_names.index("x"), lp.col_names.index("y")
 
-    def feasible(x, y):
-        v = np.zeros(n); v[xi], v[yi] = x, y
-        ineq = ~lp.equality_mask
-        return (A[ineq] @ v <= lp.b[ineq] + 1e-9).all() and np.allclose(
-            A[lp.equality_mask] @ v, lp.b[lp.equality_mask], atol=1e-9)
-
-    def math_feasible(x, y):
-        return (3.0 <= x + y <= 5.0 and 1.0 <= x - y <= 4.0
-                and 2.0 <= x <= 3.5 and 0.5 <= y <= 1.0 and y == 7.0)
-
     rng = np.random.default_rng(0)
-    # y == 7 never holds on these samples, so force the r5 value explicitly:
-    # drop r5 from both sides for the sampled comparison
+    # r5 (the zero-range equality y == 7) never holds on the sampled grid, so
+    # it is dropped from both sides for the feasibility-region comparison
     keep = np.array([nm != "r5" for nm in lp.row_names])
     A2, b2, eq2 = A[keep], lp.b[keep], lp.equality_mask[keep]
 

@@ -171,7 +171,7 @@ def main():
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 
     budget_s = float(os.environ.get("DUALIP_BENCH_BUDGET_S", 1800))
-    child_timeout = int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000))
+    child_timeout = int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 900))
     t_start = time.perf_counter()
     # Each rep runs (small, big) back to back so the pair shares one pool-
     # congestion window; the slope is computed per pair and the best pair
@@ -183,42 +183,67 @@ def main():
     pairs = []
     smalls, bigs = [], []  # (n, solve_s)
     info = None
-    for rep in range(repeats):
-        if time.perf_counter() - t_start > budget_s and pairs:
-            print("# budget reached; using completed pairs", file=sys.stderr)
-            break
-        r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed)
-        if r_small is None:
-            continue
-        smalls.append((n_small, r_small["solve_s"]))
-        info = r_small
-        print(
-            f"# rep {rep} iters={n_small}: solve {r_small['solve_s']}s (gen {r_small['gen_s']}s, "
-            f"build {r_small['build_s']}s, obj {r_small['dual_objective']:.2f})",
-            file=sys.stderr,
-        )
-        rate = r_small["solve_s"] / n_small  # s/iter in this congestion window
-        overhead = r_small["gen_s"] + r_small["build_s"] + 60  # + compile/stage slack
-        remaining = budget_s - (time.perf_counter() - t_start)
-        fit = min(0.7 * child_timeout, 0.9 * remaining - overhead)
-        n_big_run = min(n_big, max(2 * n_small, int(fit / rate)))
-        n_big_run -= n_big_run % 100  # stable shapes across close rates
-        if n_big_run <= n_small:
-            print(f"# rep {rep}: too slow for a big run (rate {rate*1e3:.0f} ms/iter)", file=sys.stderr)
-            continue
-        r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed)
-        if r_big is None:
-            continue
-        bigs.append((n_big_run, r_big["solve_s"]))
-        info = r_big
-        print(
-            f"# rep {rep} iters={n_big_run}: solve {r_big['solve_s']}s (gen {r_big['gen_s']}s, "
-            f"build {r_big['build_s']}s, obj {r_big['dual_objective']:.2f})",
-            file=sys.stderr,
-        )
-        slope = (r_big["solve_s"] - r_small["solve_s"]) / (n_big_run - n_small)
-        pairs.append(slope)
-        print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
+
+    # If the caller (the driver) kills us mid-measurement, emit the metric
+    # from whatever completed instead of dying without the JSON line —
+    # a half-finished protocol run still holds honest upper-bound samples.
+    import signal
+
+    class _Terminated(Exception):
+        pass
+
+    def _on_term(signum, frame):
+        raise _Terminated()
+
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(_sig, _on_term)
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported platform
+
+    def _reps():
+        nonlocal info
+        for rep in range(repeats):
+            if time.perf_counter() - t_start > budget_s and pairs:
+                print("# budget reached; using completed pairs", file=sys.stderr)
+                break
+            r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed)
+            if r_small is None:
+                continue
+            smalls.append((n_small, r_small["solve_s"]))
+            info = r_small
+            print(
+                f"# rep {rep} iters={n_small}: solve {r_small['solve_s']}s (gen {r_small['gen_s']}s, "
+                f"build {r_small['build_s']}s, obj {r_small['dual_objective']:.2f})",
+                file=sys.stderr,
+            )
+            rate = r_small["solve_s"] / n_small  # s/iter in this congestion window
+            overhead = r_small["gen_s"] + r_small["build_s"] + 60  # + compile/stage slack
+            remaining = budget_s - (time.perf_counter() - t_start)
+            fit = min(0.7 * child_timeout, 0.9 * remaining - overhead)
+            n_big_run = min(n_big, max(2 * n_small, int(fit / rate)))
+            n_big_run -= n_big_run % 100  # stable shapes across close rates
+            if n_big_run <= n_small:
+                print(f"# rep {rep}: too slow for a big run (rate {rate*1e3:.0f} ms/iter)", file=sys.stderr)
+                continue
+            r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed)
+            if r_big is None:
+                continue
+            bigs.append((n_big_run, r_big["solve_s"]))
+            info = r_big
+            print(
+                f"# rep {rep} iters={n_big_run}: solve {r_big['solve_s']}s (gen {r_big['gen_s']}s, "
+                f"build {r_big['build_s']}s, obj {r_big['dual_objective']:.2f})",
+                file=sys.stderr,
+            )
+            slope = (r_big["solve_s"] - r_small["solve_s"]) / (n_big_run - n_small)
+            pairs.append(slope)
+            print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
+
+    try:
+        _reps()
+    except _Terminated:
+        print("# terminated mid-measurement; emitting best-so-far metric", file=sys.stderr)
 
     if not smalls and not bigs:
         raise RuntimeError("no benchmark child completed")

@@ -28,18 +28,47 @@ def save_dual(path: str, dual_val, step_size_state: Optional[StepSizeState] = No
 
 
 def load_dual(path: str) -> Tuple[np.ndarray, Optional[StepSizeState]]:
+    """Load a warm-start checkpoint.
+
+    Accepts this package's ``.npz`` (optionally with the step-size window)
+    AND reference-style torch checkpoints (``torch.save(dual_tensor, path)``,
+    reference ``run_solver.py:127-131``) so existing DuaLip deployments can
+    reuse their saved duals directly.
+    """
     p = Path(path)
     if not p.exists() and p.with_suffix(p.suffix + ".npz").exists():
         p = p.with_suffix(p.suffix + ".npz")
-    with np.load(p) as data:
-        dual = data["dual_val"]
-        state = None
-        if "grad_hist" in data:
-            import jax.numpy as jnp
+    if p.suffix in (".pt", ".pth"):
+        return _load_torch_dual(p), None
+    try:
+        # torch.save files are also zip archives, so np.load can open them
+        # but won't find "dual_val" — any failure here falls through to the
+        # torch loader.
+        with np.load(p) as data:
+            dual = data["dual_val"]
+            state = None
+            if "grad_hist" in data:
+                import jax.numpy as jnp
 
-            state = StepSizeState(
-                grad_hist=jnp.asarray(data["grad_hist"]),
-                dual_hist=jnp.asarray(data["dual_hist"]),
-                count=jnp.asarray(data["count"]),
-            )
-    return dual, state
+                state = StepSizeState(
+                    grad_hist=jnp.asarray(data["grad_hist"]),
+                    dual_hist=jnp.asarray(data["dual_hist"]),
+                    count=jnp.asarray(data["count"]),
+                )
+        return dual, state
+    except Exception:
+        return _load_torch_dual(p), None
+
+
+def _load_torch_dual(p: Path) -> np.ndarray:
+    try:
+        import torch
+    except ImportError as e:
+        raise ValueError(
+            f"{p} is not an npz checkpoint and torch is unavailable to read a "
+            "reference-style torch checkpoint"
+        ) from e
+    obj = torch.load(p, map_location="cpu", weights_only=True)
+    if not isinstance(obj, torch.Tensor):
+        raise ValueError(f"{p}: expected a torch tensor dual, got {type(obj).__name__}")
+    return obj.detach().numpy()

@@ -1,6 +1,7 @@
 """Warm-start with step-size-window carry; bf16 tiles; matching γ-decay."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -97,3 +98,23 @@ def test_matching_with_gamma_decay():
     assert np.isfinite(res.dual_objective)
     # solver.gamma tracked down to final_gamma after 4 decays
     assert np.isclose(solver.gamma, final_gamma, rtol=1e-5)
+
+
+def test_warm_start_from_reference_torch_checkpoint(tmp_path):
+    """Reference deployments save duals with torch.save (reference
+    run_solver.py:127-131); load_dual reads them directly."""
+    torch = pytest.importorskip("torch")
+    from dualip_tpu.checkpoint import load_dual
+
+    dual = np.array([0.5, 0.0, 1.25], dtype=np.float32)
+    p = tmp_path / "dual.pt"
+    torch.save(torch.from_numpy(dual), p)
+    loaded, state = load_dual(str(p))
+    np.testing.assert_array_equal(loaded, dual)
+    assert state is None
+
+    # same content under a suffix np.load would try (and fail) to parse
+    p2 = tmp_path / "dual.bin"
+    torch.save(torch.from_numpy(dual), p2)
+    loaded2, _ = load_dual(str(p2))
+    np.testing.assert_array_equal(loaded2, dual)

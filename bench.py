@@ -244,6 +244,13 @@ def main():
         _reps()
     except _Terminated:
         print("# terminated mid-measurement; emitting best-so-far metric", file=sys.stderr)
+    finally:
+        # measurement over: a late signal must not kill the final JSON print
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(_sig, signal.SIG_IGN)
+            except (ValueError, OSError):
+                pass
 
     if not smalls and not bigs:
         raise RuntimeError("no benchmark child completed")

@@ -122,7 +122,7 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     )
 
 
-def _run_child(num_sources, num_dests, sparsity, iters, seed):
+def _run_child(num_sources, num_dests, sparsity, iters, seed, timeout_s=900):
     env = dict(os.environ)
     env["DUALIP_BENCH_CHILD"] = json.dumps(
         {"s": num_sources, "d": num_dests, "sp": sparsity, "it": iters, "seed": seed}
@@ -133,7 +133,7 @@ def _run_child(num_sources, num_dests, sparsity, iters, seed):
             env=env,
             capture_output=True,
             text=True,
-            timeout=int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 3000)),
+            timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
         print(f"# child iters={iters} timed out", file=sys.stderr)
@@ -192,7 +192,15 @@ def main():
     class _Terminated(Exception):
         pass
 
+    def _disarm():
+        for _sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(_sig, signal.SIG_IGN)
+            except (ValueError, OSError):
+                pass  # non-main thread / unsupported platform
+
     def _on_term(signum, frame):
+        _disarm()  # a follow-up kill must not preempt the final JSON print
         raise _Terminated()
 
     for _sig in (signal.SIGTERM, signal.SIGINT):
@@ -201,13 +209,12 @@ def main():
         except (ValueError, OSError):
             pass  # non-main thread / unsupported platform
 
-    def _reps():
-        nonlocal info
+    try:
         for rep in range(repeats):
             if time.perf_counter() - t_start > budget_s and pairs:
                 print("# budget reached; using completed pairs", file=sys.stderr)
                 break
-            r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed)
+            r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed, child_timeout)
             if r_small is None:
                 continue
             smalls.append((n_small, r_small["solve_s"]))
@@ -226,7 +233,7 @@ def main():
             if n_big_run <= n_small:
                 print(f"# rep {rep}: too slow for a big run (rate {rate*1e3:.0f} ms/iter)", file=sys.stderr)
                 continue
-            r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed)
+            r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed, child_timeout)
             if r_big is None:
                 continue
             bigs.append((n_big_run, r_big["solve_s"]))
@@ -239,18 +246,10 @@ def main():
             slope = (r_big["solve_s"] - r_small["solve_s"]) / (n_big_run - n_small)
             pairs.append(slope)
             print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
-
-    try:
-        _reps()
     except _Terminated:
         print("# terminated mid-measurement; emitting best-so-far metric", file=sys.stderr)
     finally:
-        # measurement over: a late signal must not kill the final JSON print
-        for _sig in (signal.SIGTERM, signal.SIGINT):
-            try:
-                signal.signal(_sig, signal.SIG_IGN)
-            except (ValueError, OSError):
-                pass
+        _disarm()  # measurement over: late signals must not kill the JSON print
 
     if not smalls and not bigs:
         raise RuntimeError("no benchmark child completed")

@@ -41,23 +41,30 @@ def load_dual(path: str) -> Tuple[np.ndarray, Optional[StepSizeState]]:
     if p.suffix in (".pt", ".pth"):
         return _load_torch_dual(p), None
     try:
-        # torch.save files are also zip archives, so np.load can open them
-        # but won't find "dual_val" — any failure here falls through to the
-        # torch loader.
-        with np.load(p) as data:
-            dual = data["dual_val"]
-            state = None
-            if "grad_hist" in data:
-                import jax.numpy as jnp
-
-                state = StepSizeState(
-                    grad_hist=jnp.asarray(data["grad_hist"]),
-                    dual_hist=jnp.asarray(data["dual_hist"]),
-                    count=jnp.asarray(data["count"]),
-                )
-        return dual, state
-    except Exception:
+        loaded = np.load(p)  # missing-file / permission errors propagate
+    except (ValueError, OSError) as np_err:
+        # not a numpy archive (e.g. torch's legacy pickle format)
+        if isinstance(np_err, FileNotFoundError):
+            raise
         return _load_torch_dual(p), None
+    if isinstance(loaded, np.ndarray):
+        return loaded, None  # plain np.save'd dual
+    with loaded as data:
+        if "dual_val" not in data.files:
+            # a zip archive without our key: torch.save files are also zips
+            # np.load can open but not parse — hand off to the torch loader.
+            return _load_torch_dual(p), None
+        dual = data["dual_val"]
+        state = None
+        if "grad_hist" in data:
+            import jax.numpy as jnp
+
+            state = StepSizeState(
+                grad_hist=jnp.asarray(data["grad_hist"]),
+                dual_hist=jnp.asarray(data["dual_hist"]),
+                count=jnp.asarray(data["count"]),
+            )
+    return dual, state
 
 
 def _load_torch_dual(p: Path) -> np.ndarray:
@@ -68,7 +75,12 @@ def _load_torch_dual(p: Path) -> np.ndarray:
             f"{p} is not an npz checkpoint and torch is unavailable to read a "
             "reference-style torch checkpoint"
         ) from e
-    obj = torch.load(p, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(p, map_location="cpu", weights_only=True)
+    except TypeError:
+        # torch < 1.13 has no weights_only kwarg (the deployments this
+        # compatibility path exists for may be pinned that old)
+        obj = torch.load(p, map_location="cpu")
     if not isinstance(obj, torch.Tensor):
         raise ValueError(f"{p}: expected a torch tensor dual, got {type(obj).__name__}")
     return obj.detach().numpy()

@@ -118,3 +118,17 @@ def test_warm_start_from_reference_torch_checkpoint(tmp_path):
     torch.save(torch.from_numpy(dual), p2)
     loaded2, _ = load_dual(str(p2))
     np.testing.assert_array_equal(loaded2, dual)
+
+
+def test_load_dual_error_and_npy_paths(tmp_path):
+    from dualip_tpu.checkpoint import load_dual
+
+    with pytest.raises(FileNotFoundError):
+        load_dual(str(tmp_path / "nope.npz"))
+
+    dual = np.array([1.0, 2.0], dtype=np.float32)
+    p = tmp_path / "dual.npy"
+    np.save(p, dual)  # plain np.save'd array also accepted
+    loaded, state = load_dual(str(p))
+    np.testing.assert_array_equal(loaded, dual)
+    assert state is None

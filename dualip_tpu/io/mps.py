@@ -364,3 +364,68 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
         stats=stats,
         objective_sense=sense,
     )
+
+
+def write_mps_file(lp: MPSLinearProgram, path: str) -> None:
+    """Write the normalized LP back out as a (optionally gzipped) MPS file.
+
+    Extension (the reference has no writer): exports the MIN-normalized form
+    — every constraint row is L (<=) or E, bounds are written explicitly
+    whenever they differ from the MPS default ``[0, +inf)``, and an explicit
+    ``LO`` accompanies any finite upper bound so the IBM negative-upper
+    convention can never re-interpret it on read-back.  ``read_mps_file(
+    write_mps_file(lp)) == lp`` up to float formatting — round-trip pinned in
+    ``tests/test_mps_reader.py``.
+    """
+    p = Path(path)
+    opener = gzip.open if p.suffix == ".gz" else open
+    m, n = lp.shape
+    row_names = list(lp.row_names) if lp.row_names else [f"R{i}" for i in range(m)]
+    col_names = list(lp.col_names) if lp.col_names else [f"X{j}" for j in range(n)]
+
+    # column-major coefficient lists (COO triplets -> per-column)
+    per_col: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+    for r, cidx, v in zip(lp.a_rows, lp.a_cols, lp.a_vals):
+        per_col[int(cidx)].append((int(r), float(v)))
+
+    def fmt(v: float) -> str:
+        return np.format_float_scientific(v, precision=17, trim="-")
+
+    with opener(p, "wt", encoding="ISO-8859-1") as fh:
+        fh.write(f"NAME          {lp.name or p.stem}\n")
+        fh.write("ROWS\n")
+        fh.write(" N  OBJ\n")
+        for i, rn in enumerate(row_names):
+            fh.write(f" {'E' if lp.equality_mask[i] else 'L'}  {rn}\n")
+        fh.write("COLUMNS\n")
+        for j, cn in enumerate(col_names):
+            if lp.c[j] != 0.0:
+                fh.write(f"    {cn}  OBJ  {fmt(float(lp.c[j]))}\n")
+            for r, v in per_col[j]:
+                fh.write(f"    {cn}  {row_names[r]}  {fmt(v)}\n")
+        fh.write("RHS\n")
+        for i, rn in enumerate(row_names):
+            if lp.b[i] != 0.0:
+                fh.write(f"    RHS  {rn}  {fmt(float(lp.b[i]))}\n")
+        fh.write("BOUNDS\n")
+        for j, cn in enumerate(col_names):
+            lo = float(lp.lower[j])
+            up = float(lp.upper[j])
+            lo_abs, up_abs = math.isnan(lo), math.isnan(up)
+            if lo_abs and up_abs:
+                fh.write(f" FR BND  {cn}\n")
+            elif lo_abs:  # upper only: MI disarms the default lower of 0
+                fh.write(f" MI BND  {cn}\n")
+                fh.write(f" UP BND  {cn}  {fmt(up)}\n")
+            elif up_abs:
+                if lo != 0.0:
+                    fh.write(f" LO BND  {cn}  {fmt(lo)}\n")
+                # lo == 0, up absent == the MPS default: no entry
+            elif lo == up:
+                fh.write(f" FX BND  {cn}  {fmt(lo)}\n")
+            else:
+                # explicit LO first: a bare negative UP would flip the lower
+                # bound to -inf under the IBM convention (read_mps_file)
+                fh.write(f" LO BND  {cn}  {fmt(lo)}\n")
+                fh.write(f" UP BND  {cn}  {fmt(up)}\n")
+        fh.write("ENDATA\n")

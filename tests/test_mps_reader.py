@@ -296,3 +296,64 @@ def test_objsense_max_negates_c(tmp_path, form):
     lp2 = read_mps_file(str(p2))
     assert lp2.objective_sense == "min"
     np.testing.assert_allclose(lp2.c, [3.0, 1.0])
+
+
+def _assert_lp_equal(a, b, rtol=0.0):
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a.c, b.c, rtol=rtol)
+    np.testing.assert_allclose(a.b, b.b, rtol=rtol)
+    np.testing.assert_array_equal(a.equality_mask, b.equality_mask)
+    np.testing.assert_allclose(a.lower, b.lower, rtol=rtol)  # NaN == NaN via allclose? no
+    m, n = a.shape
+    A1 = np.zeros((m, n)); A1[a.a_rows, a.a_cols] = a.a_vals
+    A2 = np.zeros((m, n)); A2[b.a_rows, b.a_cols] = b.a_vals
+    np.testing.assert_allclose(A1, A2, rtol=rtol)
+
+
+def test_mps_writer_roundtrip_random(tmp_path):
+    """write_mps_file -> read_mps_file is the identity on normalized LPs,
+    across every bound class (default / FR / MI+UP / LO / FX / LO+UP,
+    including a negative upper, which needs the explicit-LO guard)."""
+    from dualip_tpu.io.mps import MPSLinearProgram, write_mps_file
+
+    rng = np.random.default_rng(0)
+    m, n = 7, 12
+    mask = rng.random((m, n)) < 0.5
+    rows, cols = np.nonzero(mask)
+    vals = rng.normal(size=rows.size)
+    lower = np.zeros(n); upper = np.full(n, np.nan)
+    lower[1], upper[1] = np.nan, np.nan            # FR
+    lower[2], upper[2] = np.nan, 2.5               # MI + UP
+    lower[3] = -1.5                                # LO only
+    lower[4] = upper[4] = 0.75                     # FX
+    lower[5], upper[5] = -2.0, 3.0                 # LO + UP
+    lower[6], upper[6] = -5.0, -1.0                # negative upper (IBM guard)
+    eq = np.zeros(m, bool); eq[2] = True
+    lp = MPSLinearProgram(
+        name="roundtrip",
+        c=rng.normal(size=n), b=rng.normal(size=m),
+        a_rows=rows.astype(np.int32), a_cols=cols.astype(np.int32), a_vals=vals,
+        lower=lower, upper=upper, equality_mask=eq,
+        row_names=[f"R{i}" for i in range(m)], col_names=[f"X{j:02d}" for j in range(n)],
+    )
+    for suffix in (".mps", ".mps.gz"):
+        p = tmp_path / ("rt" + suffix)
+        write_mps_file(lp, str(p))
+        back = read_mps_file(str(p))
+        _assert_lp_equal(lp, back)
+        # NaN-coded bounds compare elementwise (allclose treats NaN != NaN)
+        assert np.array_equal(np.isnan(lp.lower), np.isnan(back.lower))
+        assert np.array_equal(np.isnan(lp.upper), np.isnan(back.upper))
+        ok = ~np.isnan(lp.upper)
+        np.testing.assert_allclose(lp.upper[ok], back.upper[ok])
+
+
+@pytest.mark.skipif(not BUNDLED.exists(), reason="bundled MIPLIB instance missing")
+def test_mps_writer_roundtrip_bundled(tmp_path):
+    from dualip_tpu.io.mps import write_mps_file
+
+    lp = read_mps_file(str(BUNDLED))
+    p = tmp_path / "v150.mps.gz"
+    write_mps_file(lp, str(p))
+    back = read_mps_file(str(p))
+    _assert_lp_equal(lp, back)

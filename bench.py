@@ -216,6 +216,13 @@ def main():
                 break
             r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed, child_timeout)
             if r_small is None:
+                # blackout regime: a saturated pool can make EVERY probe at
+                # this size blow the child timeout; halve the probe so some
+                # sample always lands (rates stay t/n-normalized, so the
+                # metric is still honest — just a looser upper bound)
+                if n_small > 50:
+                    n_small = max(50, n_small // 2)
+                    print(f"# shrinking probe to {n_small} iters after timeout", file=sys.stderr)
                 continue
             smalls.append((n_small, r_small["solve_s"]))
             info = r_small

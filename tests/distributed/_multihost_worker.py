@@ -84,8 +84,25 @@ def main():
     res1 = AcceleratedGradientDescent(max_iter=30, gamma=1e-3).maximize(obj, dual0)
     log1 = [float(v) for v in np.asarray(res1.dual_objective_log)]
 
+    # Path 3: the butterfly fast path under the multi-controller runtime —
+    # per-shard Benes plans stacked on the sharded leading axis, fused
+    # projection under shard_map, one psum (pure-jnp carries on CPU).
+    obj_bf = MatchingSolverDualObjectiveFunction(
+        global_args, gamma=1e-3, mesh=mesh, layout="butterfly", pallas_block_k=8
+    )
+    res2 = AcceleratedGradientDescent(max_iter=30, gamma=1e-3).maximize(obj_bf, dual0)
+    log2 = [float(v) for v in np.asarray(res2.dual_objective_log)]
+
     with open(out_path, "w") as f:
-        json.dump({"process": pid, "log_replicated": log0, "log_assembled": log1}, f)
+        json.dump(
+            {
+                "process": pid,
+                "log_replicated": log0,
+                "log_assembled": log1,
+                "log_butterfly": log2,
+            },
+            f,
+        )
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ def test_two_process_golden_trace(tmp_path, nproc):
     assert all(p.returncode == 0 for p in procs), "\n===\n".join(tails)
 
     logs = [json.loads(o.read_text()) for o in outs]
-    for key in ("log_replicated", "log_assembled"):
+    for key in ("log_replicated", "log_assembled", "log_butterfly"):
         ref = np.asarray(logs[0][key])
         for lg in logs[1:]:
             # every controller computes the identical replicated trace

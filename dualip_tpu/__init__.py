@@ -18,4 +18,9 @@ from dualip_tpu.types import (  # noqa: F401
     SolverResult,
 )
 
-from dualip_tpu.run_solver import build_objective, run_solver, transfer_tensors_to_device  # noqa: F401,E402
+from dualip_tpu.run_solver import (  # noqa: F401,E402
+    build_objective,
+    register_objective,
+    run_solver,
+    transfer_tensors_to_device,
+)

@@ -43,6 +43,29 @@ def transfer_tensors_to_device(input_args: BaseInputArgs, device: str) -> BaseIn
     return type(input_args)(**field_values)
 
 
+_OBJECTIVE_REGISTRY: dict = {}
+
+
+def register_objective(name: str):
+    """Register a custom objective factory under ``ObjectiveArgs.objective_type``.
+
+    Extension (the reference hard-codes its two objective types,
+    ``run_solver.py:44-71``): completes the operator-centric story at the
+    entry point — a new LP formulation plugs into ``run_solver`` without
+    touching it.  The factory is called as ``factory(input_args,
+    solver_args=..., compute_args=..., mesh=..., **objective_kwargs)`` and
+    must return an objective exposing ``equality_mask``, ``params``, and
+    ``calculate_traceable`` (see ``objectives/base.py``); ``mesh`` is a
+    ``jax.sharding.Mesh`` when ``compute_device_num > 1``, else ``None``.
+    """
+
+    def deco(factory):
+        _OBJECTIVE_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
 def build_objective(
     input_args: BaseInputArgs,
     solver_args: SolverArgs,
@@ -52,6 +75,20 @@ def build_objective(
     """Reference ``run_solver.py:44-71`` with the fixed multi-device path."""
     objective_type = objective_args.objective_type
     objective_kwargs = objective_args.objective_kwargs or {}
+
+    if objective_type in _OBJECTIVE_REGISTRY:
+        mesh = None
+        if compute_args.compute_device_num > 1:
+            from dualip_tpu.parallel.mesh import default_mesh
+
+            mesh = default_mesh(compute_args.compute_device_num)
+        return _OBJECTIVE_REGISTRY[objective_type](
+            input_args,
+            solver_args=solver_args,
+            compute_args=compute_args,
+            mesh=mesh,
+            **objective_kwargs,
+        )
 
     if objective_type == "miplib2017":
         kwargs = dict(objective_kwargs)
@@ -76,7 +113,10 @@ def build_objective(
             **objective_kwargs,
         )
 
-    raise ValueError(f"Objective type {objective_type} not supported")
+    raise ValueError(
+        f"Objective type {objective_type} not supported (registered: "
+        f"{['matching', 'miplib2017'] + sorted(_OBJECTIVE_REGISTRY)})"
+    )
 
 
 def run_solver(

@@ -2,6 +2,7 @@
 Appendix B of SURVEY.md) including warm start and the fixed Jacobi path."""
 
 import numpy as np
+import pytest
 
 from dualip_tpu import ComputeArgs, ObjectiveArgs, SolverArgs, run_solver
 from dualip_tpu.checkpoint import load_dual, save_dual
@@ -122,3 +123,50 @@ def test_run_solver_butterfly_layout_kwarg():
     np.testing.assert_allclose(
         np.asarray(bf.dual_val), np.asarray(base.dual_val), atol=1e-6
     )
+
+
+def test_register_objective_custom_type():
+    """Extension: a user objective plugs into run_solver by name — the
+    operator-centric story at the entry point (the reference hard-codes its
+    two types, reference run_solver.py:44-71)."""
+    import jax.numpy as jnp
+
+    from dualip_tpu import ObjectiveArgs, register_objective, run_solver
+    from dualip_tpu.types import ComputeArgs, ObjectiveResult, SolverArgs
+
+    @register_objective("toy_quadratic")
+    def _build_toy(input_args, solver_args, compute_args, mesh, scale=1.0):
+        assert mesh is None  # single device below
+
+        class Toy:
+            equality_mask = None
+            params = ()
+
+            def calculate_traceable(self, params, dual_val, gamma):
+                # g(x) = -scale * ||x - 3||^2  (maximized at x = 3)
+                grad = -2.0 * scale * (dual_val - 3.0)
+                obj = -scale * jnp.sum((dual_val - 3.0) ** 2)
+                return ObjectiveResult(dual_gradient=grad, dual_objective=obj)
+
+        return Toy()
+
+    from dataclasses import make_dataclass
+
+    InputArgs = make_dataclass("InputArgs", [("b_vec", object)])
+    res = run_solver(
+        input_args=InputArgs(b_vec=np.zeros(2, np.float32)),
+        solver_args=SolverArgs(max_iter=400, gamma=None, initial_step_size=0.05,
+                               max_step_size=0.5),
+        compute_args=ComputeArgs(host_device="cpu", compute_device_num=1),
+        objective_args=ObjectiveArgs(objective_type="toy_quadratic",
+                                     objective_kwargs={"scale": 2.0}),
+    )
+    np.testing.assert_allclose(np.asarray(res.dual_val), [3.0, 3.0], atol=1e-3)
+
+    with pytest.raises(ValueError, match="not supported"):
+        run_solver(
+            input_args=InputArgs(b_vec=np.zeros(2, np.float32)),
+            solver_args=SolverArgs(max_iter=1, gamma=None),
+            compute_args=ComputeArgs(host_device="cpu", compute_device_num=1),
+            objective_args=ObjectiveArgs(objective_type="nope"),
+        )

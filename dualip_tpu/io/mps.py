@@ -369,38 +369,52 @@ def read_mps_file(path: str, verbose: bool = False) -> MPSLinearProgram:
 def write_mps_file(lp: MPSLinearProgram, path: str) -> None:
     """Write the normalized LP back out as a (optionally gzipped) MPS file.
 
-    Extension (the reference has no writer): exports the MIN-normalized form
-    — every constraint row is L (<=) or E, bounds are written explicitly
-    whenever they differ from the MPS default ``[0, +inf)``, and an explicit
-    ``LO`` accompanies any finite upper bound so the IBM negative-upper
-    convention can never re-interpret it on read-back.  ``read_mps_file(
-    write_mps_file(lp)) == lp`` up to float formatting — round-trip pinned in
-    ``tests/test_mps_reader.py``.
+    Extension (the reference has no writer): every constraint row is L (<=)
+    or E, bounds are written explicitly whenever they differ from the MPS
+    default ``[0, +inf)``, an explicit ``LO`` accompanies any finite upper
+    bound so the IBM negative-upper convention can never re-interpret it on
+    read-back, and a max-sense LP writes ``OBJSENSE MAXIMIZE`` with ``c``
+    un-negated so the sense round-trips too.  ``read_mps_file(write_mps_file(
+    lp)) == lp`` up to float formatting, PROVIDED ``col_names`` are in sorted
+    order (the reader orders variables by sorted name — any
+    ``MPSLinearProgram`` the reader produced satisfies this); round-trip
+    pinned in ``tests/test_mps_reader.py``.
     """
     p = Path(path)
     opener = gzip.open if p.suffix == ".gz" else open
     m, n = lp.shape
     row_names = list(lp.row_names) if lp.row_names else [f"R{i}" for i in range(m)]
     col_names = list(lp.col_names) if lp.col_names else [f"X{j}" for j in range(n)]
+    obj_name = "OBJ"
+    taken = set(row_names)
+    while obj_name in taken:  # a constraint row named OBJ must not collide
+        obj_name += "_"
 
     # column-major coefficient lists (COO triplets -> per-column)
     per_col: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
     for r, cidx, v in zip(lp.a_rows, lp.a_cols, lp.a_vals):
         per_col[int(cidx)].append((int(r), float(v)))
 
+    c_out = -lp.c if lp.objective_sense == "max" else lp.c
+
     def fmt(v: float) -> str:
         return np.format_float_scientific(v, precision=17, trim="-")
 
     with opener(p, "wt", encoding="ISO-8859-1") as fh:
         fh.write(f"NAME          {lp.name or p.stem}\n")
+        if lp.objective_sense == "max":
+            fh.write("OBJSENSE\n    MAXIMIZE\n")
         fh.write("ROWS\n")
-        fh.write(" N  OBJ\n")
+        fh.write(f" N  {obj_name}\n")
         for i, rn in enumerate(row_names):
             fh.write(f" {'E' if lp.equality_mask[i] else 'L'}  {rn}\n")
         fh.write("COLUMNS\n")
         for j, cn in enumerate(col_names):
-            if lp.c[j] != 0.0:
-                fh.write(f"    {cn}  OBJ  {fmt(float(lp.c[j]))}\n")
+            if c_out[j] != 0.0 or not per_col[j]:
+                # a column with no entries anywhere must still appear in
+                # COLUMNS (the reader registers variables there), so emit an
+                # explicit zero objective coefficient for it
+                fh.write(f"    {cn}  {obj_name}  {fmt(float(c_out[j]))}\n")
             for r, v in per_col[j]:
                 fh.write(f"    {cn}  {row_names[r]}  {fmt(v)}\n")
         fh.write("RHS\n")

@@ -57,9 +57,17 @@ def register_objective(name: str):
     must return an objective exposing ``equality_mask``, ``params``, and
     ``calculate_traceable`` (see ``objectives/base.py``); ``mesh`` is a
     ``jax.sharding.Mesh`` when ``compute_device_num > 1``, else ``None``.
+
+    Contract: ``input_args`` must be a dataclass (the orchestration's
+    ``transfer_tensors_to_device`` reflects over its fields) exposing a
+    ``b_vec`` whose length is the dual dimension (used for the cold-start
+    zero dual; warm starts via ``initial_dual_path`` bypass it).  Built-in
+    names ("matching", "miplib2017") cannot be overridden.
     """
 
     def deco(factory):
+        if name in ("matching", "miplib2017"):
+            raise ValueError(f"{name!r} is a built-in objective type")
         _OBJECTIVE_REGISTRY[name] = factory
         return factory
 
@@ -76,12 +84,19 @@ def build_objective(
     objective_type = objective_args.objective_type
     objective_kwargs = objective_args.objective_kwargs or {}
 
-    if objective_type in _OBJECTIVE_REGISTRY:
-        mesh = None
-        if compute_args.compute_device_num > 1:
-            from dualip_tpu.parallel.mesh import default_mesh
+    mesh = None
+    if compute_args.compute_device_num > 1:
+        from dualip_tpu.parallel.mesh import default_mesh
 
-            mesh = default_mesh(compute_args.compute_device_num)
+        mesh = default_mesh(compute_args.compute_device_num)
+
+    if objective_type in _OBJECTIVE_REGISTRY:
+        if objective_args.use_jacobi_precondition:
+            raise ValueError(
+                "use_jacobi_precondition is not forwarded to registered "
+                "objectives; handle preconditioning inside the factory (and "
+                "expose invert_jacobi_precondition for the post-solve step)"
+            )
         return _OBJECTIVE_REGISTRY[objective_type](
             input_args,
             solver_args=solver_args,
@@ -94,18 +109,11 @@ def build_objective(
         kwargs = dict(objective_kwargs)
         if objective_args.use_jacobi_precondition:
             kwargs.setdefault("use_jacobi_precondition", True)
-        if compute_args.compute_device_num > 1 and "mesh" not in kwargs:
-            from dualip_tpu.parallel.mesh import default_mesh
-
-            kwargs["mesh"] = default_mesh(compute_args.compute_device_num)
+        if mesh is not None:
+            kwargs.setdefault("mesh", mesh)
         return MIPLIB2017ObjectiveFunction(miplib_input_args=input_args, **kwargs)
 
     if objective_type == "matching":
-        mesh = None
-        if compute_args.compute_device_num > 1:
-            from dualip_tpu.parallel.mesh import default_mesh
-
-            mesh = default_mesh(compute_args.compute_device_num)
         return MatchingSolverDualObjectiveFunction(
             matching_input_args=input_args,
             gamma=solver_args.gamma,

@@ -300,10 +300,14 @@ def test_objsense_max_negates_c(tmp_path, form):
 
 def _assert_lp_equal(a, b, rtol=0.0):
     assert a.shape == b.shape
+    assert a.objective_sense == b.objective_sense
     np.testing.assert_allclose(a.c, b.c, rtol=rtol)
     np.testing.assert_allclose(a.b, b.b, rtol=rtol)
     np.testing.assert_array_equal(a.equality_mask, b.equality_mask)
-    np.testing.assert_allclose(a.lower, b.lower, rtol=rtol)  # NaN == NaN via allclose? no
+    # assert_allclose treats NaN == NaN (equal_nan defaults True), so the
+    # NaN-coded absent bounds compare correctly here
+    np.testing.assert_allclose(a.lower, b.lower, rtol=rtol)
+    np.testing.assert_allclose(a.upper, b.upper, rtol=rtol)
     m, n = a.shape
     A1 = np.zeros((m, n)); A1[a.a_rows, a.a_cols] = a.a_vals
     A2 = np.zeros((m, n)); A2[b.a_rows, b.a_cols] = b.a_vals
@@ -357,3 +361,32 @@ def test_mps_writer_roundtrip_bundled(tmp_path):
     write_mps_file(lp, str(p))
     back = read_mps_file(str(p))
     _assert_lp_equal(lp, back)
+
+
+def test_mps_writer_edge_cases(tmp_path):
+    """Regressions from review: empty zero-objective columns survive the
+    round trip, a constraint row named OBJ does not collide with the
+    objective row, and a max-sense LP round-trips its sense and numbers."""
+    from dualip_tpu.io.mps import MPSLinearProgram, write_mps_file
+
+    lp = MPSLinearProgram(
+        name="edge",
+        c=np.array([1.0, 0.0, 2.0]),
+        b=np.array([4.0]),
+        # column 1 has NO constraint entries and zero objective coefficient
+        a_rows=np.array([0, 0], dtype=np.int32),
+        a_cols=np.array([0, 2], dtype=np.int32),
+        a_vals=np.array([3.0, 1.0]),
+        lower=np.array([0.0, -1.5, 0.0]),
+        upper=np.array([np.nan, 2.5, np.nan]),
+        equality_mask=np.zeros(1, bool),
+        row_names=["OBJ"],  # collides with the writer's objective row name
+        col_names=["A", "B", "C"],
+        objective_sense="max",
+    )
+    p = tmp_path / "edge.mps"
+    write_mps_file(lp, str(p))
+    back = read_mps_file(str(p))
+    _assert_lp_equal(lp, back)
+    assert back.col_names == ["A", "B", "C"]
+    assert back.row_names == ["OBJ"]  # the constraint row kept its name

@@ -91,3 +91,31 @@ def test_pad_to_and_errors():
         benes_route(perm, pad_to=16)
     with pytest.raises(ValueError):
         benes_route(perm, pad_to=48)
+
+
+def test_random_shape_soak():
+    """Randomized shapes (non-pow2 in/out lengths, injective non-surjective
+    perms): forward == gather, reverse == scatter-back of the selected
+    entries, and the blocked interpret-mode kernel matches the jnp path."""
+    from dualip_tpu.ops.butterfly import (
+        apply_butterfly,
+        apply_butterfly_tpu,
+        benes_route,
+        pack_plan,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        n_out = int(rng.integers(3, 1500))
+        n_in = int(rng.integers(n_out, n_out + 800))
+        perm = rng.choice(n_in, size=n_out, replace=False)
+        plan = benes_route(perm, n_in=n_in)
+        x = jnp.asarray(rng.normal(size=n_in).astype(np.float32))
+        y = np.asarray(apply_butterfly(plan, x))
+        np.testing.assert_array_equal(y, np.asarray(x)[perm])
+        back = np.asarray(apply_butterfly(plan, jnp.asarray(y), reverse=True))
+        expect = np.zeros(n_in, np.float32)
+        expect[perm] = np.asarray(x)[perm]
+        np.testing.assert_array_equal(back, expect)
+        y2 = np.asarray(apply_butterfly_tpu(pack_plan(plan, block_log2=9), x, interpret=True))
+        np.testing.assert_array_equal(y2, y)

@@ -323,6 +323,24 @@ class AcceleratedGradientDescent:
 
         return step
 
+    def _init_carry(self, x0: Array, gamma0: Array, ss0: StepSizeState) -> "_Carry":
+        """Build the scan carry.  Subclass maximizers (``optimizers/lbfgsb.py``)
+        override this together with ``_make_step``; ``maximize`` only relies on
+        the carry exposing ``x``, ``y``, ``gamma``, ``last_grad``, ``last_x``."""
+        m = x0.shape[0]
+        dtype = x0.dtype
+        return _Carry(
+            x=x0,
+            y=x0,
+            ss_state=ss0,
+            gamma=gamma0,
+            max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
+            last_grad=jnp.zeros(m, dtype=dtype),
+            last_x=x0,
+            beta_idx=jnp.zeros((), jnp.int32),
+            prev_obj=jnp.asarray(-jnp.inf, dtype=dtype),
+        )
+
     # ------------------------------------------------------------------
     def maximize(
         self,
@@ -358,17 +376,7 @@ class AcceleratedGradientDescent:
             if initial_step_size_state is not None
             else init_step_size_state(m, self.history_length, dtype)
         )
-        carry = _Carry(
-            x=x0,
-            y=x0,
-            ss_state=ss0,
-            gamma=gamma0,
-            max_step_size=jnp.asarray(self.max_step_size, dtype=jnp.float32),
-            last_grad=jnp.zeros(m, dtype=dtype),
-            last_x=x0,
-            beta_idx=jnp.zeros((), jnp.int32),
-            prev_obj=jnp.asarray(-jnp.inf, dtype=dtype),
-        )
+        carry = self._init_carry(x0, gamma0, ss0)
         beta_all = jnp.asarray(self.beta_seq)
         it_all = jnp.arange(1, self.max_iter + 1, dtype=jnp.int32)
 

@@ -324,9 +324,9 @@ class AcceleratedGradientDescent:
         return step
 
     def _init_carry(self, x0: Array, gamma0: Array, ss0: StepSizeState) -> "_Carry":
-        """Build the scan carry.  Subclass maximizers (``optimizers/lbfgsb.py``)
-        override this together with ``_make_step``; ``maximize`` only relies on
-        the carry exposing ``x``, ``y``, ``gamma``, ``last_grad``, ``last_x``."""
+        """Build the scan carry.  A hook for subclass maximizers: override it
+        together with ``_make_step``; ``maximize`` only relies on the carry
+        exposing ``x``, ``y``, ``gamma``, ``last_grad``, ``last_x``."""
         m = x0.shape[0]
         dtype = x0.dtype
         return _Carry(

@@ -4,7 +4,6 @@ instance end-to-end (reference asserts dual ≈ 27±1,
 
 import gzip
 import math
-import os
 from pathlib import Path
 
 import numpy as np
@@ -240,36 +239,45 @@ ENDATA
 
 
 @pytest.mark.skipif(not BUNDLED.exists(), reason="bundled MIPLIB instance missing")
-@pytest.mark.skipif(
-    os.environ.get("DUALIP_RUN_SLOW") != "1",
-    reason="~8 min under interpret-mode Pallas on CPU; set DUALIP_RUN_SLOW=1 (passes)",
-)
 def test_v150d30_butterfly_layout_agrees():
-    """The Benes-layout general-LP matvecs reproduce the COO path on the real
-    MPS instance (per-calculate and through a short solve)."""
+    """``_ButterflySparseOps`` (Benes dual-layout matvecs) reproduces the COO
+    path on real MPS data.
+
+    Runs on a 24-column slice of the bundled instance (sliced with the
+    library's own sharding utilities) so the interpret-mode Pallas kernels
+    finish in default-CI time; per-``calculate`` agreement covers the full
+    butterfly pipeline (rmatvec → projection → matvec → finalization), and
+    solve-level butterfly agreement is covered on synthetic LPs by
+    ``tests/objectives/test_miplib_objective.py::test_miplib_butterfly_layout_matches_coo``
+    and ``tests/test_rowmajor_layout.py``.  Match: the reference's single COO
+    pipeline on this instance (``examples/miplib_2017/solve_miplib_dataset.py:53-70``).
+    """
     import jax.numpy as jnp
     import numpy as np
 
-    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction
-    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction, MIPLIBInputArgs
+    from dualip_tpu.parallel.dist_utils import global_to_local_projection_map
+    from dualip_tpu.sparse.csc import split_csc_by_cols
 
     lp = read_mps_file(str(BUNDLED))
     args = lp.to_miplib_input_args()
-    coo = MIPLIB2017ObjectiveFunction(args)
-    bf = MIPLIB2017ObjectiveFunction(args, layout="butterfly")
+    K = 24  # real columns (~670 nnz each: the instance's set-cover structure)
+    A_sl = split_csc_by_cols(args.A, [K, args.A.shape[1] - K])[0]
+    sl = MIPLIBInputArgs(
+        A=A_sl,
+        c=args.c[:K],
+        projection_map=global_to_local_projection_map(args.projection_map, list(range(K))),
+        b_vec=args.b_vec,
+        equality_mask=args.equality_mask,
+    )
+    coo = MIPLIB2017ObjectiveFunction(sl)
+    bf = MIPLIB2017ObjectiveFunction(sl, layout="butterfly")
     lam = jnp.asarray(np.abs(np.random.default_rng(0).normal(size=lp.shape[0])).astype(np.float32))
     r1, r2 = coo.calculate(lam, gamma=1e-3), bf.calculate(lam, gamma=1e-3)
     g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
     assert np.allclose(g1, g2, atol=1e-3 * max(1.0, np.abs(g1).max())), np.abs(g1 - g2).max()
-
-    # short solve agreement (interpret-mode Pallas off-TPU: keep iterations low)
-    s1 = AcceleratedGradientDescent(max_iter=10, gamma=1e-3, initial_step_size=1e-5).maximize(
-        coo, jnp.zeros(lp.shape[0], jnp.float32)
-    )
-    s2 = AcceleratedGradientDescent(max_iter=10, gamma=1e-3, initial_step_size=1e-5).maximize(
-        bf, jnp.zeros(lp.shape[0], jnp.float32)
-    )
-    assert np.isclose(float(s1.dual_objective), float(s2.dual_objective), rtol=1e-4, atol=1e-3)
+    assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=1e-5, atol=1e-4)
+    assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("form", ["block", "inline"])

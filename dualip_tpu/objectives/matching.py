@@ -109,8 +109,9 @@ def device_put_blockcsc_T(bcsc_T: BlockCSC, mesh) -> BlockCSC:
 
 
 def matching_local_parts_pallas(
-    bcsc_T: BlockCSC, dual_val: Array, gamma, block_k: int, interpret: bool = False
-) -> Tuple[Array, Array, Array]:
+    bcsc_T: BlockCSC, dual_val: Array, gamma, block_k: int, interpret: bool = False,
+    want_primal: bool = False,
+) -> Tuple[Array, Array, Array, List[Array]]:
     """Pallas-fused shard-local parts over (L, K)-transposed tiles."""
     from dualip_tpu.ops.pallas_matching import fused_tile_eval_T
 
@@ -121,10 +122,11 @@ def matching_local_parts_pallas(
     grad = jnp.zeros(bcsc_T.m, dtype=dtype)
     dual_obj = jnp.zeros((), dtype=dtype)
     reg_sum = jnp.zeros((), dtype=dtype)
+    xs: List[Array] = []  # want_primal: per-tile (L, K) x
     for tile, spec in zip(bcsc_T.tiles, bcsc_T.specs):
         kind = spec.proj_type
         lam_g = scaled[tile.rows]  # XLA gather; Mosaic has no table gather
-        ax, obj_p, reg_p = fused_tile_eval_T(
+        ax, obj_p, reg_p, *x_p = fused_tile_eval_T(
             lam_g,
             tile.a,
             tile.c,
@@ -134,19 +136,28 @@ def matching_local_parts_pallas(
             spec.proj_params,
             block_k=min(block_k, tile.a.shape[1]),
             interpret=interpret,
+            want_x=want_primal,
         )
+        if want_primal:
+            xs.append(x_p[0])
         grad = grad + jax.ops.segment_sum(
             ax.reshape(-1), tile.rows.reshape(-1).astype(jnp.int32), num_segments=bcsc_T.m
         )
         dual_obj = dual_obj + obj_p.astype(dtype)
         reg_sum = reg_sum + reg_p.astype(dtype)
     reg = (jnp.asarray(gamma, dtype) / 2) * reg_sum
-    return grad, dual_obj, reg
+    return grad, dual_obj, reg, xs
 
 
 def matching_local_parts_rowmajor(
-    bcsc: BlockCSC, rl, dual_val: Array, gamma, block_k: int = 1024, carry_dtype=None
-) -> Tuple[Array, Array, Array]:
+    bcsc: BlockCSC,
+    rl,
+    dual_val: Array,
+    gamma,
+    block_k: int = 1024,
+    carry_dtype=None,
+    want_primal: bool = False,
+) -> Tuple[Array, Array, Array, List[Array]]:
     """Scatter/gather-free (grad, dual_obj, reg) via the row-major companion
     layout (``dualip_tpu/sparse/rowmajor.py`` — see its docstring for the
     TPU rationale).  Identical math to ``matching_local_parts``; the gradient
@@ -192,6 +203,7 @@ def matching_local_parts_rowmajor(
     dual_obj = jnp.zeros((), dtype=dtype)
     reg = jnp.zeros((), dtype=dtype)
     ax_parts = []
+    xs: List[Array] = []  # want_primal: per-tile x (panel form in butterfly mode)
     if butterfly:
         # The carry delivers z in panel layout (``sparse/rowmajor.py``), and
         # the fused Pallas kernel projects each tile's region of the carry
@@ -205,7 +217,7 @@ def matching_local_parts_rowmajor(
             z_cat = z_cat.astype(carry_dtype)  # fused into the z-write by XLA
         buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
         for pt, spec, off in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets):
-            buf, obj_p, reg_p = fused_panel_project(
+            buf, obj_p, reg_p, *x_p = fused_panel_project(
                 buf,
                 pt.a,
                 pt.c,
@@ -214,7 +226,10 @@ def matching_local_parts_rowmajor(
                 spec.proj_type,
                 spec.proj_params,
                 interpret=not rl.use_tpu_kernel,
+                want_x=want_primal,
             )
+            if want_primal:
+                xs.append(x_p[0])
             dual_obj = dual_obj + obj_p.astype(dtype)
             reg = reg + (jnp.asarray(gamma, dtype) / 2) * reg_p.astype(dtype)
     else:
@@ -225,6 +240,8 @@ def matching_local_parts_rowmajor(
             ax_parts.append((tile.a * x).reshape(-1))
             reg = reg + (jnp.asarray(gamma, dtype) / 2) * jnp.sum(x * x)
             dual_obj = dual_obj + jnp.sum(tile.c * x)
+            if want_primal:
+                xs.append(x)
 
     # carry 2: a·x back into row tiles; dense lane reduction; (m,) gather.
     if butterfly:
@@ -243,7 +260,7 @@ def matching_local_parts_rowmajor(
         sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
     sums_cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
     grad = sums_cat[rl.row_pos]
-    return grad, dual_obj, reg
+    return grad, dual_obj, reg, xs
 
 
 def matching_local_parts(
@@ -458,7 +475,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
                 def local_parts(rl_stacked, dv, gg):
                     rl_local = jax.tree.map(lambda x: x[0], rl_stacked)
-                    lgrad, lobj, lreg = matching_local_parts_rowmajor(
+                    lgrad, lobj, lreg, _ = matching_local_parts_rowmajor(
                         bcsc, rl_local, dv, gg, block_k=block_k, carry_dtype=carry_dtype
                     )
                     return (
@@ -475,7 +492,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                     check_vma=False,  # pallas outputs carry no vma annotation
                 )(row_layout, dual_val, jnp.asarray(g, dual_val.dtype))
             else:
-                grad, dual_obj, reg = matching_local_parts_rowmajor(
+                grad, dual_obj, reg, _ = matching_local_parts_rowmajor(
                     bcsc,
                     row_layout,
                     dual_val,
@@ -514,7 +531,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
                 def local_parts(tiles, dv, gg):
                     local = BlockCSC(tiles=list(tiles), specs=specs, m=m, n=n, nnz=nnz)
-                    lgrad, lobj, lreg = matching_local_parts_pallas(
+                    lgrad, lobj, lreg, _ = matching_local_parts_pallas(
                         local, dv, gg, block_k, interpret=interpret
                     )
                     return (
@@ -533,7 +550,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                     check_vma=False,
                 )(bcsc.tiles, dual_val, jnp.asarray(g, dual_val.dtype))
             else:
-                grad, dual_obj, reg = matching_local_parts_pallas(
+                grad, dual_obj, reg, _ = matching_local_parts_pallas(
                     bcsc, dual_val, g, self.pallas_block_k, interpret=interpret
                 )
         else:
@@ -556,16 +573,6 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             g = jnp.asarray(np.float32(g))  # host scalar, no device round-trip
         dual_val = jnp.asarray(dual_val)
 
-        if save_primal and self.use_pallas:
-            raise NotImplementedError(
-                "save_primal with use_pallas=True is not supported; build the "
-                "objective with use_pallas=False for primal extraction"
-            )
-        if save_primal and not self.bcsc.tiles:
-            raise NotImplementedError(
-                "save_primal needs the column tiles; build the objective with "
-                "keep_col_tiles=True"
-            )
         if not save_primal:
             fn = self._jit_cache.get("calc")
             if fn is None:
@@ -573,13 +580,41 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 self._jit_cache["calc"] = fn
             return fn(self.params, dual_val, g)
 
+        # --- save_primal: supported on EVERY single-mesh layout (the
+        # reference returned x from its one hot path, matching.py:155-162;
+        # the fast layouts here emit x as an extra kernel output on demand
+        # and scatter it back to flat CSC order via the host flat-index map).
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "save_primal is not supported on mesh-sharded objectives "
+                "(reference parity: unsupported in distributed mode, matching.py:255-256)"
+            )
+        if any(spec.flat_idx is None for spec in self.bcsc.specs):
+            raise NotImplementedError(
+                "save_primal needs the flat CSC index map; build the objective "
+                "with keep_flat_idx=True"
+            )
         run = self._jit_cache.get("calc_primal")
         if run is None:
+            use_pallas = self.use_pallas
+            block_k = self.pallas_block_k
+            carry_dtype = self.carry_dtype
+            interpret = jax.default_backend() != "tpu"
 
             @jax.jit
             def run(params, dv, gg):
-                bcsc, b_vec, _ = params  # primal path always uses column tiles
-                grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, gg, want_primal=True)
+                bcsc, b_vec, row_layout = params
+                if row_layout is not None:
+                    grad, dual_obj, reg, xs = matching_local_parts_rowmajor(
+                        bcsc, row_layout, dv, gg, block_k=block_k,
+                        carry_dtype=carry_dtype, want_primal=True,
+                    )
+                elif use_pallas:
+                    grad, dual_obj, reg, xs = matching_local_parts_pallas(
+                        bcsc, dv, gg, block_k, interpret=interpret, want_primal=True
+                    )
+                else:
+                    grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, gg, want_primal=True)
                 primal_obj = dual_obj  # c·x before finalization (reference matching.py:160-161)
                 if b_vec is not None:
                     res = _finalize(grad, dual_obj, reg, dv, b_vec)
@@ -591,9 +626,19 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
         res, primal_obj, xs = run(self.params, dual_val, g)
         res.primal_objective = primal_obj
-        # Flat CSC-ordered nnz vector, like the reference's intermediate.values()
-        # (reference matching.py:156-162).
-        res.primal_var = tiles_values_to_flat(self.bcsc, [np.asarray(x) for x in xs])
+        # Re-layout each tile's x to the (K, L) column-tile form, then scatter
+        # to a flat CSC-ordered nnz vector, like the reference's
+        # intermediate.values() (reference matching.py:156-162).
+        xs_kl = []
+        for x in xs:
+            x = np.asarray(x)
+            if self.layout == "butterfly":
+                # panel form (K//128, L, 128) -> (K, L)
+                x = x.transpose(0, 2, 1).reshape(-1, x.shape[1])
+            elif self.use_pallas:
+                x = x.T  # (L, K) transposed-tile form
+            xs_kl.append(x)
+        res.primal_var = tiles_values_to_flat(self.bcsc, xs_kl)
         return res
 
 

@@ -156,8 +156,29 @@ def _fused_kernel(kind: str, params: dict, L: int, scal_ref, lam_g_ref, a_ref, c
     reg_ref[0, 0] += jnp.sum(x * x)
 
 
+def _fused_kernel_x(kind: str, params: dict, L: int, scal_ref, lam_g_ref, a_ref, c_ref, len_ref, ax_ref, x_ref, obj_ref, reg_ref):
+    """``_fused_kernel`` variant that also emits the projected primal x
+    (the ``save_primal`` path on the use_pallas layout)."""
+    neg_inv_gamma = scal_ref[0]
+    a = a_ref[:]
+    c = c_ref[:]
+    z = a * lam_g_ref[:] + neg_inv_gamma * c
+    x = _project_block(z, kind, params, len_ref[:], L)
+
+    ax_ref[:] = a * x
+    x_ref[:] = x
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        obj_ref[0, 0] = jnp.zeros((), jnp.float32)
+        reg_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    obj_ref[0, 0] += jnp.sum(c * x)
+    reg_ref[0, 0] += jnp.sum(x * x)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("kind", "params_tuple", "block_k", "interpret")
+    jax.jit, static_argnames=("kind", "params_tuple", "block_k", "interpret", "want_x")
 )
 def fused_tile_eval_T(
     lam_g_T: Array,
@@ -169,8 +190,10 @@ def fused_tile_eval_T(
     params_tuple: Tuple = (),
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
-) -> Tuple[Array, Array, Array]:
-    """Evaluate one (L, K)-transposed tile: returns (a·x in (L,K), Σc·x, Σx²).
+    want_x: bool = False,
+) -> Tuple[Array, ...]:
+    """Evaluate one (L, K)-transposed tile: returns (a·x in (L,K), Σc·x, Σx²),
+    plus the projected x in (L, K) when ``want_x=True`` (save_primal).
 
     ``lam_g_T`` is the XLA-side gather ``(-λ/γ)[rows_T]``; K must divide by
     ``block_k`` (the tile builder pads entity columns; padding columns carry
@@ -182,24 +205,25 @@ def fused_tile_eval_T(
         raise ValueError(f"K={K} not divisible by block_k={block_k}")
     grid = (K // block_k,)
 
-    kernel = functools.partial(_fused_kernel, kind, params, L)
-    ax, obj, reg = pl.pallas_call(
+    blk = lambda: pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM)  # noqa: E731
+    x_specs = [blk()] if want_x else []
+    x_shapes = [jax.ShapeDtypeStruct((L, K), a_T.dtype)] if want_x else []
+    kernel = functools.partial(_fused_kernel_x if want_x else _fused_kernel, kind, params, L)
+    ax, *rest = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars: (1,) neg_inv_gamma
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            blk(),
+            blk(),
+            blk(),
             pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=[blk()] + x_specs + [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((L, K), a_T.dtype),
+        out_shape=[jax.ShapeDtypeStruct((L, K), a_T.dtype)] + x_shapes + [
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
@@ -211,7 +235,39 @@ def fused_tile_eval_T(
         c_T,
         length.reshape(1, K),
     )
+    if want_x:
+        x, obj, reg = rest
+        return ax, obj[0, 0], reg[0, 0], x
+    obj, reg = rest
     return ax, obj[0, 0], reg[0, 0]
+
+
+def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref, len_ref, o_ref, x_ref, obj_ref, reg_ref):
+    """``_panel_kernel`` variant that also emits the projected primal ``x``
+    (panel form, (bp, L, 128)) — the one-shot ``save_primal`` path
+    (reference ``matching.py:155-162`` returned x from its only pipeline;
+    the fast layouts here recover it on demand without rebuilding)."""
+    z = z_ref[...][:, :L, :]
+    compute = jnp.float32 if z.dtype == jnp.bfloat16 else z.dtype
+    z = z.astype(compute)
+    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+    a = a_ref[...].astype(compute)
+    c = c_ref[...].astype(compute)
+    ax = (a * x).astype(z_ref.dtype)
+    x_ref[...] = x.astype(x_ref.dtype)
+    if L2 == L:
+        o_ref[...] = ax
+    else:
+        o_ref[:, :L, :] = ax
+        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        obj_ref[0, 0] = jnp.zeros((), jnp.float32)
+        reg_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    obj_ref[0, 0] += jnp.sum(c * x)
+    reg_ref[0, 0] += jnp.sum(x * x)
 
 
 def _panel_kernel(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
@@ -257,7 +313,8 @@ def fused_panel_project(
     kind: str,
     params_tuple: Tuple = (),
     interpret: bool = False,
-) -> Tuple[Array, Array, Array]:
+    want_x: bool = False,
+) -> Tuple[Array, ...]:
     """Project one tile's region of the (N,) carry buffer in place.
 
     The tile region is rows ``[off/(128·L2), +K/128)`` of the free bitcast
@@ -266,7 +323,8 @@ def fused_panel_project(
     (``input_output_aliases``): it reads z from its blocks and writes a·x
     back over them, leaving every other region untouched — no slice
     materialization, no relayout copy, no a·x re-assembly.  Returns
-    ``(buf', Σc·x, Σx²)``.
+    ``(buf', Σc·x, Σx²)``, plus the projected x in panel form ``(KP, L, C)``
+    fp32 when ``want_x=True`` (the ``save_primal`` path).
 
     In interpret mode (CPU tests) aliasing semantics for unvisited blocks
     are not guaranteed, so the region is sliced, projected non-aliased with
@@ -283,7 +341,9 @@ def fused_panel_project(
     off0 = off // (128 * L2)
     assert off % (128 * L2) == 0 and off0 % bp == 0, (off, L2, bp)
     grid = (KP // bp,)
-    kernel = _ft.partial(_panel_kernel, kind, dict(params_tuple), L, L2)
+    kernel = _ft.partial(
+        _panel_kernel_x if want_x else _panel_kernel, kind, dict(params_tuple), L, L2
+    )
     obj_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -293,33 +353,39 @@ def fused_panel_project(
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     tile_spec = lambda blk_l: pl.BlockSpec((bp, blk_l, C), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    x_specs = [tile_spec(L)] if want_x else []
+    x_shapes = [jax.ShapeDtypeStruct((KP, L, C), jnp.float32)] if want_x else []
 
     if interpret:
         region = jax.lax.dynamic_slice(buf, (off,), (KP * L2 * C,)).reshape(KP, L2, C)
-        out, obj, reg = pl.pallas_call(
+        out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[tile_spec(L2), tile_spec(L), tile_spec(L), tile_spec(1)],
-            out_specs=[tile_spec(L2)] + obj_specs,
-            out_shape=[jax.ShapeDtypeStruct((KP, L2, C), buf.dtype)] + obj_shapes,
+            out_specs=[tile_spec(L2)] + x_specs + obj_specs,
+            out_shape=[jax.ShapeDtypeStruct((KP, L2, C), buf.dtype)] + x_shapes + obj_shapes,
             interpret=True,
         )(region, a_p, c_p, len_p)
         buf = jax.lax.dynamic_update_slice(buf, out.reshape(-1), (off,))
-        return buf, obj[0, 0], reg[0, 0]
-
-    view = buf.reshape(-1, L2, C)
-    base = off0 // bp
-    view_spec = pl.BlockSpec((bp, L2, C), lambda j: (base + j, 0, 0), memory_space=pltpu.VMEM)
-    out, obj, reg = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
-        out_specs=[view_spec] + obj_specs,
-        out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + obj_shapes,
-        input_output_aliases={0: 0},
-        interpret=False,
-    )(view, a_p, c_p, len_p)
-    return out.reshape(-1), obj[0, 0], reg[0, 0]
+    else:
+        view = buf.reshape(-1, L2, C)
+        base = off0 // bp
+        view_spec = pl.BlockSpec((bp, L2, C), lambda j: (base + j, 0, 0), memory_space=pltpu.VMEM)
+        out, *rest = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
+            out_specs=[view_spec] + x_specs + obj_specs,
+            out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + x_shapes + obj_shapes,
+            input_output_aliases={0: 0},
+            interpret=False,
+        )(view, a_p, c_p, len_p)
+        buf = out.reshape(-1)
+    if want_x:
+        x, obj, reg = rest
+        return buf, obj[0, 0], reg[0, 0], x
+    obj, reg = rest
+    return buf, obj[0, 0], reg[0, 0]
 
 
 def _fused_kernel_z(kind: str, params: dict, L: int, z_ref, a_ref, c_ref, len_ref, ax_ref, obj_ref, reg_ref):

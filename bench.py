@@ -86,6 +86,9 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     t0 = time.perf_counter()
     layout = os.environ.get("DUALIP_BENCH_LAYOUT", default_layout)
     carry_dtype = os.environ.get("DUALIP_BENCH_CARRY_DTYPE")  # e.g. bfloat16
+    tile_dtype = os.environ.get("DUALIP_BENCH_TILE_DTYPE")  # e.g. bfloat16
+    import numpy as np
+
     obj = MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
@@ -97,6 +100,7 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
             "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
         ),
         carry_dtype=carry_dtype if layout == "butterfly" else None,
+        dtype=np.dtype(jnp.bfloat16) if tile_dtype == "bfloat16" else np.float32,
     )
     build_s = time.perf_counter() - t0
 

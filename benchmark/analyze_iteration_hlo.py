@@ -22,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def main():
     num_sources = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    carry_dtype = sys.argv[2] if len(sys.argv) > 2 else None  # e.g. bfloat16
+    tile_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     import jax
     import jax.numpy as jnp
@@ -29,8 +31,10 @@ def main():
     from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
     from generate_synthetic_data import generate_synthetic_matching_input_args
 
+    import numpy as np
+
     args = generate_synthetic_matching_input_args(num_sources, 10_000, 1e-3, seed=42)
-    print(f"nnz={args.A.nnz}")
+    print(f"nnz={args.A.nnz} carry_dtype={carry_dtype} tile_dtype={tile_dtype}")
     obj = MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
@@ -38,6 +42,8 @@ def main():
         layout="butterfly" if jax.default_backend() == "tpu" else "csc",
         keep_col_tiles=False,
         plan_cache_dir=str(Path(__file__).parent.parent / "benchmark_data" / "plan_cache"),
+        carry_dtype=carry_dtype if jax.default_backend() == "tpu" else None,
+        dtype=np.dtype(jnp.bfloat16) if tile_dtype == "bfloat16" else np.float32,
     )
 
     fn = jax.jit(lambda p, dv, gg: obj.calculate_traceable(p, dv, gg))

@@ -172,13 +172,15 @@ def matching_local_parts_rowmajor(
     ``carry_dtype`` (butterfly only, e.g. ``jnp.bfloat16``): storage dtype of
     the carry buffer.  The network itself does NO arithmetic on the payload
     (every stage is a pure exchange), so a narrow carry is lossless for the
-    permutation — the only precision cost is ONE rounding of z before the
-    forward carry and one of a·x after the projection, while the six carry
-    passes halve their HBM traffic.  The projection kernel upcasts each VMEM
-    block to fp32 internally, and the gradient lane-reduction accumulates in
-    the dual's dtype, so objective/gradient error stays at the ~2^-9 relative
-    level of the two roundings.  ``None`` (default) keeps everything in the
-    dual's dtype — bit-identical to the golden-traced path.
+    permutation — the only precision cost is ONE rounding of srow (the
+    scaled dual broadcast) before the forward carry and one of a·x after the
+    projection, while the six carry passes halve their HBM traffic.  c never
+    passes through the carry (the panel kernel adds it in fp32), so the
+    narrow carry only perturbs the a·λ term.  The projection kernel upcasts
+    each VMEM block to fp32 internally, and the gradient lane-reduction
+    accumulates in the dual's dtype, so objective/gradient error stays at the
+    ~2^-9 relative level of the two roundings.  ``None`` (default) keeps
+    everything in the dual's dtype — bit-identical to the golden-traced path.
     """
     dtype = dual_val.dtype
     neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
@@ -192,29 +194,44 @@ def matching_local_parts_rowmajor(
                 return apply_butterfly_tpu(rl.plan, vec, reverse=reverse, truncate=truncate)
             return apply_butterfly(rl.plan, vec, reverse=reverse, truncate=truncate)
 
-    # z in row layout: the dual value is constant per sublane — no per-nnz gather.
-    z_parts = [
-        rt.a * scaled[rt.row_ids][:, None] + neg_inv_gamma * rt.c for rt in rl.row_tiles
-    ]
-    sentinel = [] if butterfly else [jnp.zeros(1, dtype=dtype)]
-    z_cat = jnp.concatenate([p.reshape(-1) for p in z_parts] + sentinel)
+        # srow carry: ship only the masked dual broadcast; the panel kernel
+        # computes z = a·srow + (-1/γ)·c from the column-side a/c it streams
+        # anyway, so row-space a/c copies are never stored or read
+        # (−8 B/nnz HBM resident and per-iteration traffic).  Padding slots
+        # must carry zeros: the bijection completion can route them into
+        # column padding slots and back into the summed a·x row layout.
+        srow_parts = []
+        for rt, (R, Lr) in zip(rl.row_tiles, rl.row_shapes):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
+            s = jnp.where(
+                lane < rt.length[:, None], scaled[rt.row_ids][:, None], jnp.zeros((), dtype)
+            )
+            srow_parts.append(s.reshape(-1))
+        z_cat = jnp.concatenate(srow_parts)
+    else:
+        # z in row layout: the dual value is constant per sublane — no per-nnz gather.
+        z_parts = [
+            rt.a * scaled[rt.row_ids][:, None] + neg_inv_gamma * rt.c for rt in rl.row_tiles
+        ]
+        z_cat = jnp.concatenate([p.reshape(-1) for p in z_parts] + [jnp.zeros(1, dtype=dtype)])
 
-    # carry 1: z into column space; project; partials.
+    # carry 1: srow (butterfly) / z (gather) into column space; project; partials.
     dual_obj = jnp.zeros((), dtype=dtype)
     reg = jnp.zeros((), dtype=dtype)
     ax_parts = []
     xs: List[Array] = []  # want_primal: per-tile x (panel form in butterfly mode)
     if butterfly:
-        # The carry delivers z in panel layout (``sparse/rowmajor.py``), and
-        # the fused Pallas kernel projects each tile's region of the carry
-        # buffer IN PLACE (``input_output_aliases``): Proj + a·x + Σc·x/Σx²
-        # in one VMEM-resident pass per block — no λ gather, no z recompute,
-        # no slice/relayout copies, no a·x re-assembly; the bisection never
+        # The carry delivers srow in panel layout (``sparse/rowmajor.py``),
+        # and the fused Pallas kernel computes z = a·srow + (-1/γ)·c and
+        # projects each tile's region of the carry buffer IN PLACE
+        # (``input_output_aliases``): z + Proj + a·x + Σc·x/Σx² in one
+        # VMEM-resident pass per block — no λ gather, no row-space a/c, no
+        # slice/relayout copies, no a·x re-assembly; the bisection never
         # re-reads HBM (see ops/pallas_matching.py::fused_panel_project).
         from dualip_tpu.ops.pallas_matching import fused_panel_project
 
         if carry_dtype is not None:
-            z_cat = z_cat.astype(carry_dtype)  # fused into the z-write by XLA
+            z_cat = z_cat.astype(carry_dtype)  # fused into the srow-write by XLA
         buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
         for pt, spec, off in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets):
             buf, obj_p, reg_p, *x_p = fused_panel_project(
@@ -227,6 +244,7 @@ def matching_local_parts_rowmajor(
                 spec.proj_params,
                 interpret=not rl.use_tpu_kernel,
                 want_x=want_primal,
+                neg_inv_gamma=neg_inv_gamma,
             )
             if want_primal:
                 xs.append(x_p[0])
@@ -248,15 +266,14 @@ def matching_local_parts_rowmajor(
         ax_row_cat = carry(buf, reverse=True)  # buf holds a·x in place
         sums = []
         off = 0
-        for rt in rl.row_tiles:
-            R, Lr = rt.a.shape
+        for R, Lr in rl.row_shapes:
             blk = ax_row_cat[off : off + R * Lr].reshape(R, Lr)  # static slice
             off += R * Lr
             # accumulate in the dual's dtype (narrow-carry mode stores a·x in
             # carry_dtype; the row sum must not inherit that)
             sums.append(jnp.sum(blk, axis=1, dtype=dtype))
     else:
-        ax_cat = jnp.concatenate(ax_parts + sentinel)
+        ax_cat = jnp.concatenate(ax_parts + [jnp.zeros(1, dtype=dtype)])
         sums = [jnp.sum(ax_cat[rt.axidx], axis=1) for rt in rl.row_tiles]
     sums_cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
     grad = sums_cat[rl.row_pos]

@@ -202,15 +202,25 @@ class _ButterflySparseOps:
 
     def rmatvec(self, y: Array) -> Array:
         rl = self.rl
-        t_parts = [rt.a * y[rt.row_ids][:, None] for rt in rl.row_tiles]
-        t_col = self._carry(jnp.concatenate([p.reshape(-1) for p in t_parts]), reverse=False)
+        # srow carry (see sparse/rowmajor.py::RowTile): ship the masked dual
+        # broadcast; a is applied from the column-side tiles after the carry,
+        # so row-space copies of a never exist.
+        t_parts = []
+        for rt, (R, Lr) in zip(rl.row_tiles, rl.row_shapes):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
+            s = jnp.where(
+                lane < rt.length[:, None], y[rt.row_ids][:, None], jnp.zeros((), y.dtype)
+            )
+            t_parts.append(s.reshape(-1))
+        t_col = self._carry(jnp.concatenate(t_parts), reverse=False)
         sums = []
         for pt, off in zip(rl.col_tiles_T, rl.col_offsets):
             KP, L, C = pt.a.shape
             L2 = (1 << max(L - 1, 0).bit_length()) if L > 1 else 1
             region = t_col[off : off + KP * L2 * C].reshape(KP, L2, C)
-            # lane-reduce the L real lanes; (KP, C) flattens to column order
-            sums.append(jnp.sum(region[:, :L, :], axis=1).reshape(-1))
+            # a ⊙ carried-λ, lane-reduced over the L real lanes; (KP, C)
+            # flattens to column order
+            sums.append(jnp.sum(pt.a * region[:, :L, :], axis=1).reshape(-1))
         sums_cat = jnp.concatenate(sums + [jnp.zeros(1, y.dtype)])
         return sums_cat[self.colpos]
 
@@ -232,8 +242,7 @@ class _ButterflySparseOps:
         u_row = self._carry(jnp.concatenate(u_parts), reverse=True)
         sums = []
         off = 0
-        for rt in rl.row_tiles:
-            R, Lr = rt.a.shape
+        for R, Lr in rl.row_shapes:
             sums.append(jnp.sum(u_row[off : off + R * Lr].reshape(R, Lr), axis=1))
             off += R * Lr
         sums_cat = jnp.concatenate(sums + [jnp.zeros(1, x.dtype)])

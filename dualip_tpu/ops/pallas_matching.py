@@ -242,24 +242,44 @@ def fused_tile_eval_T(
     return ax, obj[0, 0], reg[0, 0]
 
 
-def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref, len_ref, o_ref, x_ref, obj_ref, reg_ref):
-    """``_panel_kernel`` variant that also emits the projected primal ``x``
-    (panel form, (bp, L, 128)) — the one-shot ``save_primal`` path
-    (reference ``matching.py:155-162`` returned x from its only pipeline;
-    the fast layouts here recover it on demand without rebuilding)."""
-    z = z_ref[...][:, :L, :]
-    compute = jnp.float32 if z.dtype == jnp.bfloat16 else z.dtype
-    z = z.astype(compute)
-    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+def _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref):
+    """Shared panel-kernel body: z from the carried srow, project, a·x.
+
+    ``s_ref`` holds the butterfly-carried ``srow = (-λ/γ)[row]`` region in
+    panel layout (``sparse/rowmajor.py::PanelTile``); the kernel computes
+    ``z = a·srow + (-1/γ)·c`` from the column-side a/c it streams anyway, so
+    row-space copies of a/c never exist (the "srow carry").  Only the first
+    L lanes are real; ghost lanes and narrow (bf16) carries upcast to fp32
+    for the bisection — only the HBM storage of srow / a·x is narrow.
+    Returns (x, a, c, ax) in compute dtype (ax narrowed to the carry dtype).
+    """
+    s = s_ref[...][:, :L, :]
+    compute = jnp.float32 if (s.dtype == jnp.bfloat16 or a_ref.dtype == jnp.bfloat16) else s.dtype
+    s = s.astype(compute)
     a = a_ref[...].astype(compute)
     c = c_ref[...].astype(compute)
-    ax = (a * x).astype(z_ref.dtype)
-    x_ref[...] = x.astype(x_ref.dtype)
+    z = a * s + scal_ref[0].astype(compute) * c
+    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+    ax = (a * x).astype(s_ref.dtype)
+    return x, a, c, ax
+
+
+def _store_ax(o_ref, ax, L, L2):
     if L2 == L:
         o_ref[...] = ax
     else:
         o_ref[:, :L, :] = ax
-        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z_ref.dtype)
+        o_ref[:, L:, :] = jnp.zeros((ax.shape[0], L2 - L, ax.shape[2]), o_ref.dtype)
+
+
+def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, x_ref, obj_ref, reg_ref):
+    """``_panel_kernel`` variant that also emits the projected primal ``x``
+    (panel form, (bp, L, 128)) — the one-shot ``save_primal`` path
+    (reference ``matching.py:155-162`` returned x from its only pipeline;
+    the fast layouts here recover it on demand without rebuilding)."""
+    x, a, c, ax = _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref)
+    x_ref[...] = x.astype(x_ref.dtype)
+    _store_ax(o_ref, ax, L, L2)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -270,30 +290,17 @@ def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_re
     reg_ref[0, 0] += jnp.sum(x * x)
 
 
-def _panel_kernel(kind: str, params: dict, L: int, L2: int, z_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
+def _panel_kernel(kind: str, params: dict, L: int, L2: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
     """Project one (bp, L2, 128) block of the carry buffer IN PLACE.
 
-    ``z`` arrives butterfly-carried in panel layout (``sparse/rowmajor.py::
-    PanelTile``); only the first L lanes are real — the L2-L ghost lanes
-    carry zeros through the network and are rewritten as zeros, so the
-    padded-projection semantics (pads participate as zeros, count = L,
-    reference ``sparse_utils.py:207-214``) are bit-identical to the csc path.
+    The carried srow arrives in panel layout; z is computed here (see
+    ``_panel_body``), projected, and a·x written back over the region — the
+    ghost (L2-L) lanes are rewritten as zeros, so the padded-projection
+    semantics (pads participate as zeros, count = L, reference
+    ``sparse_utils.py:207-214``) match the csc path exactly.
     """
-    z = z_ref[...][:, :L, :]
-    # Narrow-carry mode (buffer in bf16, see matching_local_parts_rowmajor):
-    # upcast the VMEM-resident block so the bisection runs in fp32; only the
-    # HBM storage of z / a·x is narrow.
-    compute = jnp.float32 if z.dtype == jnp.bfloat16 else z.dtype
-    z = z.astype(compute)
-    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
-    a = a_ref[...].astype(compute)
-    c = c_ref[...].astype(compute)
-    ax = (a * x).astype(z_ref.dtype)
-    if L2 == L:
-        o_ref[...] = ax
-    else:
-        o_ref[:, :L, :] = ax
-        o_ref[:, L:, :] = jnp.zeros((z.shape[0], L2 - L, z.shape[2]), z_ref.dtype)
+    x, a, c, ax = _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref)
+    _store_ax(o_ref, ax, L, L2)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -314,13 +321,18 @@ def fused_panel_project(
     params_tuple: Tuple = (),
     interpret: bool = False,
     want_x: bool = False,
+    neg_inv_gamma: Array = None,
 ) -> Tuple[Array, ...]:
-    """Project one tile's region of the (N,) carry buffer in place.
+    """Compute z from the carried srow, project, and write a·x — one tile's
+    region of the (N,) carry buffer, in place.
 
-    The tile region is rows ``[off/(128·L2), +K/128)`` of the free bitcast
-    view ``buf.reshape(-1, L2, 128)`` (panel layout, offsets descending-L2 —
+    ``buf`` holds the butterfly-carried ``srow = (-λ/γ)[row]`` (the srow
+    carry; ``sparse/rowmajor.py::RowTile``); the kernel forms
+    ``z = a·srow + neg_inv_gamma·c`` internally.  The tile region is rows
+    ``[off/(128·L2), +K/128)`` of the free bitcast view
+    ``buf.reshape(-1, L2, 128)`` (panel layout, offsets descending-L2 —
     ``sparse/rowmajor.py``).  On TPU the pallas_call ALIASES the buffer
-    (``input_output_aliases``): it reads z from its blocks and writes a·x
+    (``input_output_aliases``): it reads srow from its blocks and writes a·x
     back over them, leaving every other region untouched — no slice
     materialization, no relayout copy, no a·x re-assembly.  Returns
     ``(buf', Σc·x, Σx²)``, plus the projected x in panel form ``(KP, L, C)``
@@ -355,17 +367,19 @@ def fused_panel_project(
     tile_spec = lambda blk_l: pl.BlockSpec((bp, blk_l, C), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
     x_specs = [tile_spec(L)] if want_x else []
     x_shapes = [jax.ShapeDtypeStruct((KP, L, C), jnp.float32)] if want_x else []
+    scal = jnp.asarray(neg_inv_gamma, jnp.float32).reshape(1)
+    scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     if interpret:
         region = jax.lax.dynamic_slice(buf, (off,), (KP * L2 * C,)).reshape(KP, L2, C)
         out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tile_spec(L2), tile_spec(L), tile_spec(L), tile_spec(1)],
+            in_specs=[scal_spec, tile_spec(L2), tile_spec(L), tile_spec(L), tile_spec(1)],
             out_specs=[tile_spec(L2)] + x_specs + obj_specs,
             out_shape=[jax.ShapeDtypeStruct((KP, L2, C), buf.dtype)] + x_shapes + obj_shapes,
             interpret=True,
-        )(region, a_p, c_p, len_p)
+        )(scal, region, a_p, c_p, len_p)
         buf = jax.lax.dynamic_update_slice(buf, out.reshape(-1), (off,))
     else:
         view = buf.reshape(-1, L2, C)
@@ -374,80 +388,15 @@ def fused_panel_project(
         out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
+            in_specs=[scal_spec, view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
             out_specs=[view_spec] + x_specs + obj_specs,
             out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + x_shapes + obj_shapes,
-            input_output_aliases={0: 0},
+            input_output_aliases={1: 0},
             interpret=False,
-        )(view, a_p, c_p, len_p)
+        )(scal, view, a_p, c_p, len_p)
         buf = out.reshape(-1)
     if want_x:
         x, obj, reg = rest
         return buf, obj[0, 0], reg[0, 0], x
     obj, reg = rest
     return buf, obj[0, 0], reg[0, 0]
-
-
-def _fused_kernel_z(kind: str, params: dict, L: int, z_ref, a_ref, c_ref, len_ref, ax_ref, obj_ref, reg_ref):
-    """Projection-only fusion: ``z`` arrives precomputed (butterfly-carried
-    from the row layout, ``dualip_tpu/sparse/rowmajor.py``), so there is no
-    λ gather and no z recompute — just Proj + a·x + partials in VMEM."""
-    x = _project_block(z_ref[:], kind, params, len_ref[:], L)
-    a = a_ref[:]
-    c = c_ref[:]
-    ax_ref[:] = a * x
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        obj_ref[0, 0] = jnp.zeros((), jnp.float32)
-        reg_ref[0, 0] = jnp.zeros((), jnp.float32)
-
-    obj_ref[0, 0] += jnp.sum(c * x)
-    reg_ref[0, 0] += jnp.sum(x * x)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("kind", "params_tuple", "block_k", "interpret")
-)
-def fused_tile_eval_T_from_z(
-    z_T: Array,
-    a_T: Array,
-    c_T: Array,
-    length: Array,
-    kind: str,
-    params_tuple: Tuple = (),
-    block_k: int = DEFAULT_BLOCK_K,
-    interpret: bool = False,
-) -> Tuple[Array, Array, Array]:
-    """Like ``fused_tile_eval_T`` but consumes a precomputed (L, K) ``z``
-    block (the butterfly path computes z in row space and carries it to
-    column space already transposed)."""
-    L, K = a_T.shape
-    params = dict(params_tuple)
-    if K % block_k != 0:
-        raise ValueError(f"K={K} not divisible by block_k={block_k}")
-    grid = (K // block_k,)
-
-    kernel = functools.partial(_fused_kernel_z, kind, params, L)
-    ax, obj, reg = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((L, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((L, K), a_T.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(z_T, a_T, c_T, length.reshape(1, K))
-    return ax, obj[0, 0], reg[0, 0]

@@ -55,18 +55,30 @@ Array = jax.Array
 class RowTile(NamedTuple):
     """One power-of-2 bucket of constraint rows, row-major.
 
-    ``a``/``c`` are the A/c values of each row's nonzeros (0 on padding);
-    ``row_ids`` the global constraint-row id per sublane (clamped to 0 on
-    padding rows — their ``a``/``c`` are zero so they contribute nothing);
-    ``axidx`` the position of each slot's nonzero in the concatenated
-    column-tile ``a·x`` vector (sentinel on padding; ``None`` in butterfly
-    mode, where the carry happens via the Beneš network instead).
+    Gather mode: ``a``/``c`` are the A/c values of each row's nonzeros (0 on
+    padding); ``axidx`` the position of each slot's nonzero in the
+    concatenated column-tile ``a·x`` vector (sentinel on padding); z is
+    computed here in row space.
+
+    Butterfly mode: ``a``/``c``/``axidx`` are ``None`` — the forward carry
+    ships only the masked dual broadcast ``srow = (-λ/γ)[row_id]`` (the
+    "srow carry"), and the fused panel kernel computes
+    ``z = a·srow + (-1/γ)·c`` from the COLUMN-side a/c it reads anyway, so
+    row-space a/c are never stored or streamed (−8 B/nnz resident and
+    −8 B/nnz of HBM traffic per iteration vs carrying a precomputed z).
+    ``length`` masks the broadcast: padding slots must carry zeros because
+    the bijection completion can route them into (ignored, but summed-free)
+    column padding slots and back.
+
+    ``row_ids`` is the global constraint-row id per sublane (clamped to 0 on
+    padding rows).
     """
 
-    a: Array  # (R, Lr)
-    c: Array  # (R, Lr)
+    a: Optional[Array]  # (R, Lr) | None (butterfly)
+    c: Optional[Array]  # (R, Lr) | None (butterfly)
     row_ids: Array  # (R,) int32
-    axidx: Optional[Array]  # (R, Lr) int32 | None
+    axidx: Optional[Array]  # (R, Lr) int32 | None (butterfly)
+    length: Optional[Array] = None  # (R,) int32 (butterfly) | None (gather)
 
 
 class PanelTile(NamedTuple):
@@ -114,15 +126,16 @@ class RowLayout:
     col_tiles_T: Optional[List[PanelTile]] = None  # butterfly mode only
     use_tpu_kernel: bool = False
     col_offsets: Optional[tuple] = None  # static per-tile flat region starts
+    row_shapes: Optional[tuple] = None  # static ((R, Lr), ...) per row tile (butterfly)
 
     def tree_flatten(self):
         children = (self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T)
-        aux = (self.use_tpu_kernel, self.col_offsets)
+        aux = (self.use_tpu_kernel, self.col_offsets, self.row_shapes)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        use_tpu_kernel, col_offsets = aux
+        use_tpu_kernel, col_offsets, row_shapes = aux
         row_tiles, zidx, row_pos, plan, col_tiles_T = children
         return cls(
             row_tiles=list(row_tiles),
@@ -132,6 +145,7 @@ class RowLayout:
             col_tiles_T=list(col_tiles_T) if col_tiles_T is not None else None,
             use_tpu_kernel=use_tpu_kernel,
             col_offsets=col_offsets,
+            row_shapes=row_shapes,
         )
 
 
@@ -201,15 +215,19 @@ def build_row_layout(
             flat = col_offsets[i] + (kcol >> 7) * (128 * L2) + lane * 128 + (kcol & 127)
         else:
             flat = off + np.arange(K * L).reshape(K, L)
+            # Row-space a/c only exist in gather mode (z computed in row
+            # space); butterfly mode ships the srow carry and the panel
+            # kernel reads the column-side a/c it streams anyway.
+            a_l.append(np.asarray(tile.a)[valid])
+            c_l.append(np.asarray(tile.c)[valid])
         rows_l.append(rows[valid])
-        a_l.append(np.asarray(tile.a)[valid])
-        c_l.append(np.asarray(tile.c)[valid])
         axflat_l.append(flat[valid])
         off += K * L
     ax_sentinel = col_total if transposed else off  # trailing zero in the ax concat
     rows_all = np.concatenate(rows_l).astype(np.int64)
-    a_all = np.concatenate(a_l)
-    c_all = np.concatenate(c_l)
+    if not transposed:
+        a_all = np.concatenate(a_l)
+        c_all = np.concatenate(c_l)
     axflat_all = np.concatenate(axflat_l).astype(np.int64)
 
     # --- order nonzeros by constraint row (stable: keeps column order) -----
@@ -235,6 +253,7 @@ def build_row_layout(
 
     # z-vector flat positions: one (R*Lr) span per row bucket + sentinel
     row_tiles: List[RowTile] = []
+    row_shapes: List[tuple] = []
     # position in the z concat for every sorted nonzero
     zpos_sorted = np.empty(rows_s.size, dtype=np.int64)
     # position of each present row's sum in the sums concat
@@ -251,10 +270,7 @@ def build_row_layout(
             R = sel.size
             Lr = int(counts[nz_rows[sel]].max())
         lens = counts[nz_rows[sel]].astype(np.int64)
-        a_t = np.zeros((R, Lr), dtype=a_all.dtype)
-        c_t = np.zeros((R, Lr), dtype=c_all.dtype)
-        axidx_t = np.full((R, Lr), ax_sentinel, dtype=np.int64)
-        # forced R > sel.size: trailing rows are padding (row_id 0, a=c=0 —
+        # forced R > sel.size: trailing rows are padding (row_id 0, length 0 —
         # they carry zeros and their sum slot is never referenced by row_pos)
         row_ids_t = np.zeros(R, dtype=np.int32)
         row_ids_t[: sel.size] = nz_rows[sel]
@@ -263,20 +279,37 @@ def build_row_layout(
         prefix = np.cumsum(lens) - lens
         l_in_row = np.arange(int(lens.sum())) - prefix[r_rep]
         sorted_pos = row_starts[sel][r_rep] + l_in_row  # index into the sorted nnz order
-        src = order[sorted_pos]
-        a_t[r_rep, l_in_row] = a_all[src]
-        c_t[r_rep, l_in_row] = c_all[src]
-        axidx_t[r_rep, l_in_row] = axflat_all[src]
         zpos_sorted[sorted_pos] = zoff + r_rep * Lr + l_in_row
         sumpos[nz_rows[sel]] = sumoff + np.arange(sel.size)
-        row_tiles.append(
-            RowTile(
-                a=jnp.asarray(a_t),
-                c=jnp.asarray(c_t),
-                row_ids=jnp.asarray(row_ids_t),
-                axidx=jnp.asarray(axidx_t.astype(np.int32)) if method == "gather" else None,
+        if method == "gather":
+            src = order[sorted_pos]
+            a_t = np.zeros((R, Lr), dtype=a_all.dtype)
+            c_t = np.zeros((R, Lr), dtype=c_all.dtype)
+            axidx_t = np.full((R, Lr), ax_sentinel, dtype=np.int64)
+            a_t[r_rep, l_in_row] = a_all[src]
+            c_t[r_rep, l_in_row] = c_all[src]
+            axidx_t[r_rep, l_in_row] = axflat_all[src]
+            row_tiles.append(
+                RowTile(
+                    a=jnp.asarray(a_t),
+                    c=jnp.asarray(c_t),
+                    row_ids=jnp.asarray(row_ids_t),
+                    axidx=jnp.asarray(axidx_t.astype(np.int32)),
+                )
             )
-        )
+        else:  # butterfly: srow carry — only row ids + lengths needed
+            lens_t = np.zeros(R, dtype=np.int32)
+            lens_t[: sel.size] = lens
+            row_tiles.append(
+                RowTile(
+                    a=None,
+                    c=None,
+                    row_ids=jnp.asarray(row_ids_t),
+                    axidx=None,
+                    length=jnp.asarray(lens_t),
+                )
+            )
+        row_shapes.append((R, Lr))
         zoff += R * Lr
         sumoff += R
     z_sentinel = zoff
@@ -368,6 +401,7 @@ def build_row_layout(
             col_tiles_T=col_tiles_T,
             use_tpu_kernel=use_tpu_kernel,
             col_offsets=tuple(col_offsets),
+            row_shapes=tuple(row_shapes),
         )
 
     # --- gather mode: column-tile zidx (where each column slot's z lives) --
@@ -384,7 +418,10 @@ def build_row_layout(
         pos += nvalid
         zidx.append(jnp.asarray(zi.astype(np.int32)))
 
-    return RowLayout(row_tiles=row_tiles, zidx=zidx, row_pos=jnp.asarray(row_pos))
+    return RowLayout(
+        row_tiles=row_tiles, zidx=zidx, row_pos=jnp.asarray(row_pos),
+        row_shapes=tuple(row_shapes),
+    )
 
 
 def _slice_bcsc_cols(bcsc, d: int, n_shards: int):

@@ -178,8 +178,10 @@ def test_butterfly_layout_golden_trace():
 
 def test_butterfly_bf16_carry_close_to_fp32():
     """carry_dtype=bfloat16: the network moves payload without arithmetic, so
-    the only error is one bf16 rounding of z and one of a·x (~2^-9 relative);
-    the projection kernel upcasts blocks to fp32 internally and the gradient
+    the only error is one bf16 rounding of srow = (-λ/γ)[row] and one of a·x
+    (~2^-9 relative of the a·λ/γ term — slightly larger than rounding the
+    cancelled sum z, since c never passes through the carry and is added in
+    fp32 by the panel kernel); blocks upcast to fp32 in VMEM and the gradient
     lane-reduction accumulates in fp32."""
     rng = np.random.default_rng(29)
     m, n = 40, 300
@@ -195,12 +197,14 @@ def test_butterfly_bf16_carry_close_to_fp32():
         r1, r2 = o_f32.calculate(lam), o_bf16.calculate(lam)
         g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
         scale = max(1.0, np.abs(g1).max())
-        # error budget: z is rounded once at bf16's 2^-9 relative of |z| ~
-        # |c|/gamma, and the projection output moves by the same absolute
-        # amount — observed ~1e-2 of gradient scale at gamma=1e-3
-        assert np.allclose(g1, g2, atol=3e-2 * scale), np.abs(g1 - g2).max() / scale
-        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=2e-2)
-        assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=3e-2)
+        # error budget: srow is rounded once at bf16's 2^-9 relative of
+        # |a·λ/γ| (the c term enters in fp32 inside the kernel) — observed
+        # ~3e-2 of gradient scale at gamma=1e-3, the worst (cancellation-
+        # heavy) regime; narrow carry suits larger gamma / the gamma-decayed
+        # tail of a solve (docs/performance.md)
+        assert np.allclose(g1, g2, atol=6e-2 * scale), np.abs(g1 - g2).max() / scale
+        assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=4e-2)
+        assert np.isclose(float(r1.reg_penalty), float(r2.reg_penalty), rtol=6e-2)
 
 
 def test_carry_dtype_requires_butterfly_layout():
@@ -252,3 +256,32 @@ def test_save_primal_without_flat_idx_raises():
     obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, keep_flat_idx=False)
     with pytest.raises(NotImplementedError, match="keep_flat_idx"):
         obj.calculate(jnp.zeros(10, jnp.float32), save_primal=True)
+
+
+@pytest.mark.parametrize("carry", [None, "bfloat16"])
+def test_butterfly_bf16_tiles_close_to_fp32(carry):
+    """dtype=bfloat16 tiles on the butterfly layout (panel a/c stored bf16,
+    upcast to fp32 inside the kernel; composes with the narrow carry): lands
+    within the bf16 data-rounding budget of the fp32 path."""
+    import jax.numpy as jnp_
+
+    rng = np.random.default_rng(33)
+    m, n = 40, 300
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_f32 = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="butterfly")
+    o_bf16 = MatchingSolverDualObjectiveFunction(
+        args, gamma=1e-3, layout="butterfly", dtype=np.dtype(jnp_.bfloat16), carry_dtype=carry
+    )
+    lam = jnp.asarray(np.abs(np.random.default_rng(1).normal(size=m)).astype(np.float32))
+    r1, r2 = o_f32.calculate(lam), o_bf16.calculate(lam)
+    g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+    scale = max(1.0, np.abs(g1).max())
+    # a/c are data-rounded to bf16 (2^-9 relative) BEFORE z = a·(-λ/γ) - c/γ:
+    # at gamma=1e-3 z moves by ~2^-9·|c|/γ ≈ O(1), so near-threshold simplex
+    # columns legitimately shift allocation — this is a property of bf16
+    # problem data, not of the pipeline (docs/performance.md: bf16 tiles suit
+    # 3-digit-accuracy solves / larger gamma)
+    assert np.allclose(g1, g2, atol=1e-1 * scale), np.abs(g1 - g2).max() / scale
+    assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=4e-2)

@@ -424,16 +424,44 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
             axis = mesh.axis_names[0]
             n_shards = int(np.prod(mesh.devices.shape))
-            rl = build_row_layout_sharded(  # host tiles
-                self.bcsc, n_shards, plan_cache_dir=plan_cache_dir
-            )
-            # every leaf carries a leading shard axis — shard it over the mesh
-            self.row_layout = jax.tree.map(
-                lambda x: jax.device_put(
-                    x, NamedSharding(mesh, PartitionSpec(axis, *([None] * (x.ndim - 1))))
-                ),
-                rl,
-            )
+            if jax.process_count() > 1:
+                # Multi-controller: each process routes ONLY its own devices'
+                # shards (the expensive Beneš routing parallelizes across
+                # hosts; the cheap shape pass stays global so every process
+                # compiles the identical program), then contributes its slice
+                # of the stacked layout.
+                pi = jax.process_index()
+                mine = [
+                    i for i, d in enumerate(mesh.devices.flat) if d.process_index == pi
+                ]
+                lo, hi = min(mine), max(mine) + 1
+                if mine != list(range(lo, hi)):
+                    raise ValueError(
+                        "butterfly multihost layout needs each process's devices "
+                        "contiguous along the mesh axis"
+                    )
+                rl = build_row_layout_sharded(
+                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir, local_range=(lo, hi)
+                )
+                self.row_layout = jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        NamedSharding(mesh, PartitionSpec(axis, *([None] * (x.ndim - 1)))),
+                        np.asarray(x),
+                        (n_shards,) + tuple(x.shape[1:]),
+                    ),
+                    rl,
+                )
+            else:
+                rl = build_row_layout_sharded(  # host tiles
+                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir
+                )
+                # every leaf carries a leading shard axis — shard it over the mesh
+                self.row_layout = jax.tree.map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(mesh, PartitionSpec(axis, *([None] * (x.ndim - 1))))
+                    ),
+                    rl,
+                )
         elif layout in ("row", "butterfly"):
             from dualip_tpu.sparse.rowmajor import build_row_layout
 

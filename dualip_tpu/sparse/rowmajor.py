@@ -445,7 +445,9 @@ def _slice_bcsc_cols(bcsc, d: int, n_shards: int):
     return BlockCSC(tiles=tiles, specs=bcsc.specs, m=bcsc.m, n=bcsc.n, nnz=bcsc.nnz)
 
 
-def build_row_layout_sharded(bcsc, n_shards: int, plan_cache_dir=None) -> RowLayout:
+def build_row_layout_sharded(
+    bcsc, n_shards: int, plan_cache_dir=None, local_range=None
+) -> RowLayout:
     """Stacked butterfly layouts for an entity-sharded SPMD solve.
 
     Splits the (host) BlockCSC into ``n_shards`` column shards, builds one
@@ -457,6 +459,14 @@ def build_row_layout_sharded(bcsc, n_shards: int, plan_cache_dir=None) -> RowLay
     device squeezes its slice and runs the exact single-device pipeline,
     followed by one psum of (grad, obj, reg) — the same communication volume
     as the csc mesh path (SURVEY.md §2.2).
+
+    ``local_range=(lo, hi)`` (multi-controller runs): the cheap shape pass
+    still covers all shards (one program needs agreed shapes), but the
+    EXPENSIVE per-shard Beneš routing runs only for shards [lo, hi) — each
+    host routes its own devices' shards (reference analog: per-rank data
+    ownership, ``run_matching_benchmark_dist.py:33-193``) — and the stacked
+    leading axis is the local shard count, to be assembled globally with
+    ``jax.make_array_from_process_local_data``.
     """
     from dualip_tpu.sparse.bcsc import _pow2_thresholds
 
@@ -497,8 +507,11 @@ def build_row_layout_sharded(bcsc, n_shards: int, plan_cache_dir=None) -> RowLay
     N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
     forced = {"thresholds": thresholds, "bucket_shapes": bucket_shapes, "N": N}
 
+    lo, hi = local_range if local_range is not None else (0, n_shards)
     layouts = [
-        build_row_layout(sh, method="butterfly", plan_cache_dir=plan_cache_dir, _forced=forced)
-        for sh in shards
+        build_row_layout(
+            shards[d], method="butterfly", plan_cache_dir=plan_cache_dir, _forced=forced
+        )
+        for d in range(lo, hi)
     ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layouts)

@@ -37,9 +37,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from dualip_tpu.objectives.matching import MatchingInputArgs  # noqa: E402
+from dualip_tpu.objectives.matching import (  # noqa: E402
+    MatchingInputArgs,
+    MatchingSolverDualObjectiveFunction,
+)
 from dualip_tpu.projections import create_projection_map  # noqa: E402
-from dualip_tpu.sparse import CSCMatrix, csc_from_arrays, vstack_csc  # noqa: E402
+from dualip_tpu.sparse import CSCMatrix, csc_from_arrays  # noqa: E402
 
 
 @dataclass
@@ -123,58 +126,152 @@ def prepare_movielens_matching(
     return input_args, user_id_to_col, row_to_movie_id
 
 
-def add_fairness_rows(
+def build_fairness_values(
+    A: CSCMatrix, group_a_rows: Sequence[int], group_b_rows: Sequence[int]
+) -> np.ndarray:
+    """Per-nnz fairness coefficients f, SAME sparsity pattern as A
+    (reference ``docs/demo/matching_complex.rst:33-60``): entries of A whose
+    movie row is in group A carry ``+a/|A|``, group B ``-a/|B|``, others 0 —
+    so the two fairness rows bound the difference of the groups' AVERAGE
+    a-weighted exposure, without introducing any new primal variables."""
+    in_a = np.isin(A.row_indices, np.asarray(group_a_rows, dtype=A.row_indices.dtype))
+    in_b = np.isin(A.row_indices, np.asarray(group_b_rows, dtype=A.row_indices.dtype))
+    sign = np.where(
+        in_a, 1.0 / len(group_a_rows), np.where(in_b, -1.0 / len(group_b_rows), 0.0)
+    )
+    return (sign * A.data).astype(np.float32)
+
+
+@dataclass
+class FairnessMatchingInputArgs(MatchingInputArgs):
+    """MatchingInputArgs + fairness groups; ``b_vec`` is EXTENDED to length
+    m+2 = (b, δ, δ) so the dual dimension (and ``run_solver``'s cold-start
+    zero dual) covers the two fairness rows."""
+
+    group_a_rows: Tuple[int, ...] = ()
+    group_b_rows: Tuple[int, ...] = ()
+
+
+class FairnessMatchingObjective(MatchingSolverDualObjectiveFunction):
+    """Matching objective extended with two group-fairness constraints —
+    the reference's extension demo re-done TPU-natively (reference
+    ``docs/demo/matching_complex.rst:77-171``):
+
+        mean_{j∈A} (Ax)_j - mean_{j∈B} (Ax)_j <= δ     (dual λ_m)
+        mean_{j∈B} (Ax)_j - mean_{j∈A} (Ax)_j <= δ     (dual λ_{m+1})
+
+    The fairness coefficients share A's sparsity pattern (no new primal
+    variables): per nonzero, z gains ``f·(-1/γ)(λ_m - λ_{m+1})``, and the two
+    extra gradient entries are ``±Σ f⊙x``.  Mirrors the reference demo's
+    override of ``calculate`` (its ``intermediate += scaled[-2]·A_f -
+    scaled[-1]·A_f`` and ``grad[-2:] = ±Σ(A_f ⊙ intermediate)``), expressed
+    over BlockCSC tiles in one traced function.  csc layout only (the
+    reference demo likewise extends only the base path).
+    """
+
+    def __init__(self, input_args: FairnessMatchingInputArgs, gamma: float, **kw):
+        if kw.get("layout", "csc") != "csc" or kw.get("use_pallas") or kw.get("mesh"):
+            raise NotImplementedError("the fairness demo extends the csc layout")
+        kw.pop("layout", None)
+        b_ext = np.asarray(input_args.b_vec, dtype=np.float32)
+        base_args = MatchingInputArgs(
+            A=input_args.A,
+            c=input_args.c,
+            projection_map=input_args.projection_map,
+            b_vec=b_ext[:-2],
+            equality_mask=None,
+        )
+        super().__init__(base_args, gamma=gamma, **kw)
+        from dualip_tpu.sparse.bcsc import flat_to_tiles_values
+        import jax
+
+        f_flat = build_fairness_values(
+            input_args.A, list(input_args.group_a_rows), list(input_args.group_b_rows)
+        )
+        self.f_tiles = jax.device_put(flat_to_tiles_values(self.bcsc, f_flat))
+        import jax.numpy as jnp
+
+        self.b_ext = jnp.asarray(b_ext)
+
+    @property
+    def params(self):
+        return (self.bcsc, self.b_ext, self.f_tiles)
+
+    def calculate_traceable(self, params, dual_val, gamma):
+        import jax
+        import jax.numpy as jnp
+
+        from dualip_tpu.objectives.matching import _finalize
+        from dualip_tpu.sparse.bcsc import tile_valid_mask
+
+        bcsc, b_ext, f_tiles = params
+        g = self.gamma if gamma is None else gamma
+        dtype = dual_val.dtype
+        nig = jnp.asarray(-1.0, dtype) / jnp.asarray(g, dtype)
+        scaled = nig * dual_val[:-2]
+        smu = nig * (dual_val[-2] - dual_val[-1])  # reference: scaled[-2]-scaled[-1]
+
+        grad_rows = jnp.zeros(bcsc.m, dtype=dtype)
+        gf = jnp.zeros((), dtype=dtype)
+        dual_obj = jnp.zeros((), dtype=dtype)
+        reg = jnp.zeros((), dtype=dtype)
+        for tile, spec, f in zip(bcsc.tiles, bcsc.specs, f_tiles):
+            z = tile.a * scaled[tile.rows] + f * smu + nig * tile.c
+            x = spec.projection()(z)
+            x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
+            grad_rows = grad_rows + jax.ops.segment_sum(
+                (tile.a * x).reshape(-1),
+                tile.rows.reshape(-1).astype(jnp.int32),
+                num_segments=bcsc.m,
+            )
+            gf = gf + jnp.sum(f * x)
+            reg = reg + (jnp.asarray(g, dtype) / 2) * jnp.sum(x * x)
+            dual_obj = dual_obj + jnp.sum(tile.c * x)
+        grad = jnp.concatenate([grad_rows, gf[None], -gf[None]])
+        return _finalize(grad, dual_obj, reg, dual_val, b_ext)
+
+    def calculate(self, dual_val, gamma=None, save_primal=False, rank: int = 0, **kwargs):
+        if save_primal:
+            raise NotImplementedError("save_primal is not wired into the fairness demo")
+        return super().calculate(dual_val, gamma=gamma, save_primal=False, rank=rank, **kwargs)
+
+
+def make_fairness_input_args(
     input_args: MatchingInputArgs,
     group_a_rows: Sequence[int],
     group_b_rows: Sequence[int],
     tolerance: float = 0.0,
-) -> MatchingInputArgs:
-    """Append two fairness constraints bounding group exposure disparity
-    (the reference's extension demo, ``docs/demo/matching_complex.rst``):
-
-        sum_{j in A} (Ax)_j - sum_{j in B} (Ax)_j <= tolerance
-        sum_{j in B} (Ax)_j - sum_{j in A} (Ax)_j <= tolerance
-    """
-    A = input_args.A
-    in_a = np.isin(A.row_indices, np.asarray(group_a_rows, dtype=np.int32))
-    in_b = np.isin(A.row_indices, np.asarray(group_b_rows, dtype=np.int32))
-    sign = np.where(in_a, 1.0, np.where(in_b, -1.0, 0.0)).astype(np.float32)
-
-    def _fair_row(vals):
-        # one CSC row: per user-column, the summed signed exposure coefficient
-        signed = vals * A.data
-        col_sums = np.zeros(A.shape[1], dtype=np.float64)
-        nonempty = A.col_lengths > 0
-        if nonempty.any():
-            col_sums[nonempty] = np.add.reduceat(signed, A.indptr[:-1][nonempty])
-        nz = col_sums != 0
-        indptr = np.zeros(A.shape[1] + 1, dtype=np.int64)
-        np.cumsum(nz.astype(np.int64), out=indptr[1:])
-        return CSCMatrix(
-            indptr=indptr,
-            row_indices=np.zeros(int(nz.sum()), dtype=np.int32),
-            data=col_sums[nz].astype(np.float32),
-            shape=(1, A.shape[1]),
-        )
-
-    fair_plus = _fair_row(sign)
-    fair_minus = _fair_row(-sign)
-    A_ext = vstack_csc([A, fair_plus, fair_minus])
-    # c keeps the same extended pattern with zero cost on fairness entries
-    C_ext = vstack_csc(
-        [input_args.c, fair_plus._replace(data=np.zeros_like(fair_plus.data)),
-         fair_minus._replace(data=np.zeros_like(fair_minus.data))]
-    )
+) -> FairnessMatchingInputArgs:
+    """Extend a matching problem with the two fairness rows (b' = (b, δ, δ))."""
     b_ext = np.concatenate(
         [np.asarray(input_args.b_vec), np.float32([tolerance, tolerance])]
     ).astype(np.float32)
-    return MatchingInputArgs(
-        A=A_ext,
-        c=C_ext,
+    return FairnessMatchingInputArgs(
+        A=input_args.A,
+        c=input_args.c,
         projection_map=input_args.projection_map,
         b_vec=b_ext,
         equality_mask=None,
+        group_a_rows=tuple(int(r) for r in group_a_rows),
+        group_b_rows=tuple(int(r) for r in group_b_rows),
     )
+
+
+def _register_fairness_objective():
+    """Plug the demo objective into ``run_solver`` via the registry
+    (``dualip_tpu.register_objective``) under ``objective_type=
+    "movielens_fairness"`` — the operator-centric extension path."""
+    from dualip_tpu import register_objective
+    from dualip_tpu.run_solver import _OBJECTIVE_REGISTRY
+
+    if "movielens_fairness" in _OBJECTIVE_REGISTRY:
+        return
+
+    @register_objective("movielens_fairness")
+    def _factory(input_args, solver_args=None, compute_args=None, mesh=None, **kw):
+        if mesh is not None:
+            raise NotImplementedError("the fairness demo is single-mesh")
+        return FairnessMatchingObjective(input_args, gamma=solver_args.gamma, **kw)
 
 
 def save_snapshot(input_args, out_prefix, user_id_to_col, row_to_movie_id) -> None:
@@ -252,10 +349,13 @@ def main():
         )
         print(f"prepared in {time.perf_counter()-t0:.1f}s")
 
+    objective_type = "matching"
     if args.fairness_group_a and args.fairness_group_b:
         ga = [int(x) for x in args.fairness_group_a.split(",")]
         gb = [int(x) for x in args.fairness_group_b.split(",")]
-        input_args = add_fairness_rows(input_args, ga, gb, args.fairness_tolerance)
+        input_args = make_fairness_input_args(input_args, ga, gb, args.fairness_tolerance)
+        _register_fairness_objective()
+        objective_type = "movielens_fairness"
         print(f"added 2 fairness rows (|A|={len(ga)}, |B|={len(gb)})")
 
     print(f"A shape: {input_args.A.shape}, nnz: {input_args.A.nnz}, b shape: {np.asarray(input_args.b_vec).shape}")
@@ -276,7 +376,7 @@ def main():
                 max_step_size=args.max_step_size,
             ),
             compute_args=ComputeArgs(host_device=args.device or "cpu"),
-            objective_args=ObjectiveArgs(objective_type="matching"),
+            objective_args=ObjectiveArgs(objective_type=objective_type),
         )
         print("Dual objective:", result.dual_objective)
 

@@ -1,0 +1,391 @@
+"""MovieLens-shaped differential validation of the north-star numbers.
+
+BASELINE.md's primary correctness target is the reference's checked-in
+MovieLens-20M run: dual objective -628,012.875 after 10,000 iterations
+(γ=0.1, steps 1e-8/1e-6, per-movie capacity 30 — reference
+``examples/movielens_matching/movies_lens_matching.py:229-232`` defaults,
+log ``examples/movielens_matching/logs/movies_log.txt``), and
+-275,531.9375 with two fairness rows.  The ml-20m ratings file cannot be
+fetched in this environment (zero egress), so this script pins the SAME
+pipeline on a generated **MovieLens-shaped proxy**: identical matrix shape
+(26,744 movies × 138,493 users), ml-20m-like popularity/activity skew and
+half-star rating marginals, run through BOTH implementations:
+
+* the LP is built once by OUR ``prepare_movielens_matching`` (+ optional
+  ``add_fairness_rows``) and converted to torch CSC for the reference, so
+  both solvers consume bit-identical (A, c, b);
+* the reference (loaded from its checkout as an oracle, like
+  ``benchmark/reference_loader.py``) runs its own 10,000-iteration AGD solve
+  on CPU, logging every iteration in its own log format;
+* our solver runs the same 10,000 iterations (any backend; butterfly on TPU);
+* traces are compared iteration-for-iteration with the tail-weighted
+  tolerance of ``benchmark/fuzz_differential.py`` and the FINAL dual
+  objective at BASELINE.md's 1e-6 relative tolerance.
+
+Usage (see Makefile target ``proxy-validate``):
+
+    python examples/movielens_matching/proxy_validation.py generate
+    python examples/movielens_matching/proxy_validation.py run-reference [--fairness]
+    python examples/movielens_matching/proxy_validation.py run-ours [--fairness]
+    python examples/movielens_matching/proxy_validation.py compare [--fairness]
+
+Artifacts land in ``examples/movielens_matching/logs/`` mirroring the
+reference's ``movies_log.txt`` / ``movies_with_fairness_log.txt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).resolve().parent
+REPO = HERE.parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "benchmark"))
+sys.path.insert(0, str(HERE))
+
+from movies_lens_matching import (  # noqa: E402
+    FairnessMatchingObjective,
+    MovielensMatchingConfig,
+    build_fairness_values,
+    make_fairness_input_args,
+    prepare_movielens_matching,
+)
+
+LOGS = HERE / "logs"
+DATA = REPO / "benchmark_data"
+
+# ml-20m marginals the proxy reproduces (reference docs/demo/matching.rst):
+N_USERS = 138_493
+N_MOVIES = 26_744
+N_RATINGS = 2_000_000  # ~10% of ml-20m keeps the reference CPU run ~2h
+SEED = 20
+GAMMA = 0.1
+MAX_ITER = 10_000
+INITIAL_STEP = 1e-8
+MAX_STEP = 1e-6
+CAPACITY = 30.0
+# Fairness demo (reference docs/demo/matching_complex.rst): two groups of
+# movie rows whose total exposure difference is bounded by 0.
+FAIR_A = list(range(0, 50))
+FAIR_B = list(range(50, 100))
+
+
+def _proxy_paths(fairness: bool):
+    tag = "proxy_movies_with_fairness" if fairness else "proxy_movies"
+    return {
+        "ratings": DATA / "proxy_ratings.npz",
+        "ref_log": LOGS / f"{tag}_reference_log.txt",
+        "ref_trace": DATA / f"{tag}_reference_trace.npz",
+        "ours_log": LOGS / f"{tag}_log.txt",
+        "ours_trace": DATA / f"{tag}_trace.npz",
+        "summary": LOGS / f"{tag}_comparison.json",
+    }
+
+
+def generate_proxy_ratings(path: Path) -> None:
+    """Deterministic MovieLens-shaped ratings sample.
+
+    Movie popularity: Zipf-like (exponent fit to ml-20m's head: the most
+    rated movie has ~67K ratings of 20M ≈ 0.33%); user activity: lognormal
+    (ml-20m user counts are heavy-tailed, min 20); rating values: half-star
+    grid with ml-20m's published marginal (mode 4.0, mean ≈ 3.53).
+    """
+    rng = np.random.default_rng(SEED)
+    movie_w = 1.0 / np.power(np.arange(1, N_MOVIES + 1), 0.85)
+    movie_w /= movie_w.sum()
+    user_w = rng.lognormal(0.0, 1.0, N_USERS)
+    user_w /= user_w.sum()
+
+    users = rng.choice(N_USERS, size=N_RATINGS, p=user_w).astype(np.int64)
+    movies = rng.choice(N_MOVIES, size=N_RATINGS, p=movie_w).astype(np.int64)
+    # every user/movie id appears at least once so the LP keeps the full shape
+    users[:N_USERS] = np.arange(N_USERS)
+    movies[N_RATINGS - N_MOVIES :] = np.arange(N_MOVIES)
+
+    grid = np.arange(0.5, 5.01, 0.5)
+    pmf = np.array([0.011, 0.036, 0.013, 0.066, 0.044, 0.212, 0.092, 0.266, 0.077, 0.183])
+    pmf /= pmf.sum()
+    ratings = rng.choice(grid, size=N_RATINGS, p=pmf)
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, users=users, movies=movies, ratings=ratings)
+    print(f"proxy ratings: {N_RATINGS} samples -> {path}")
+
+
+def build_lp(fairness: bool):
+    p = _proxy_paths(fairness)
+    with np.load(p["ratings"]) as d:
+        ratings = (d["users"], d["movies"], d["ratings"])
+    cfg = MovielensMatchingConfig(ratings_csv_path="", per_movie_capacity=CAPACITY)
+    input_args, user_map, row_map = prepare_movielens_matching(cfg, ratings=ratings)
+    if fairness:
+        input_args = make_fairness_input_args(input_args, FAIR_A, FAIR_B, tolerance=0.0)
+    return input_args
+
+
+def _log_line(i: int, vals: dict) -> str:
+    return (
+        f"iter={i}   dual_objective={vals['dual_objective']}   "
+        f"dual_grad_norm={vals['dual_grad_norm']}   reg_penalty={vals['reg_penalty']}   "
+        f"dual_val_times_grad={vals['dual_val_times_grad']}   "
+        f"max_pos_slack={vals['max_pos_slack']}   sum_pos_slack={vals['sum_pos_slack']}"
+    )
+
+
+class _RefFairnessOracle:
+    """Reference-side fairness objective, following the reference's OWN
+    extension recipe (``docs/demo/matching_complex.rst:77-171`` — the
+    reference library ships no fairness class; its demo instructs users to
+    override ``calculate``).  Same-pattern A_fairness values, dual length
+    m+2, ``grad[-2:] = ±Σ(A_f ⊙ x)``; built from the reference's public
+    primitives so the 10k-iteration trace is a true reference oracle."""
+
+    def __init__(self, ref, base_obj, f_values, b_ext):
+        self.ref = ref
+        self.base = base_obj
+        self.f_values = f_values  # torch tensor, A's nnz order
+        self.b_ext = b_ext
+        self.equality_mask = None
+        self.gamma = base_obj.gamma
+
+    def calculate(self, dual_val, gamma=None, save_primal=False, rank=0):
+        M, torch, b = self.ref.matching, self.ref.torch, self.base
+        if gamma is not None and gamma != b.gamma:
+            b.gamma = gamma
+            b.c_rescaled = -1.0 / gamma * b.c
+        self.gamma = b.gamma
+        scaled = -1.0 / b.gamma * dual_val
+        M.left_multiply_sparse(scaled[:-2], b.A, output_tensor=b.intermediate)
+        a_f_scaled = torch.sparse_csc_tensor(
+            b.A.ccol_indices(), b.A.row_indices(),
+            self.f_values * (scaled[-2] - scaled[-1]), size=b.A.size(),
+        )
+        M.elementwise_csc(b.intermediate, a_f_scaled, M.add, output_tensor=b.intermediate)
+        M.elementwise_csc(b.intermediate, b.c_rescaled, M.add, output_tensor=b.intermediate)
+        for _, (buckets, ptype, pparams) in b.buckets.items():
+            fn = M.project(ptype, **pparams)
+            M.apply_F_to_columns(b.intermediate, fn, buckets, output_tensor=b.intermediate)
+        vals = b.intermediate.values()
+        grad = torch.zeros_like(dual_val)
+        grad[:-2] = M.row_sums_csc(M.elementwise_csc(b.A, b.intermediate, M.mul))
+        gf = (self.f_values * vals).sum()
+        grad[-2], grad[-1] = gf, -gf
+        reg = (b.gamma / 2) * torch.norm(vals) ** 2
+        dual_obj = torch.dot(b.c.values(), vals)
+        grad, dual_obj = M.calc_grad(grad, dual_obj, dual_val, self.b_ext, reg)
+        return M.ObjectiveResult(
+            dual_gradient=grad,
+            dual_objective=dual_obj,
+            reg_penalty=reg,
+            dual_val_times_grad=torch.dot(dual_val, grad),
+            max_pos_slack=torch.clamp(grad, min=0).max(),
+            sum_pos_slack=torch.clamp(grad, min=0).sum(),
+        )
+
+
+def run_reference(fairness: bool, max_iter: int) -> None:
+    from reference_loader import load_reference
+
+    ref = load_reference()
+    torch = ref.torch
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+
+    input_args = build_lp(fairness)
+    A, C = input_args.A, input_args.c
+    m, n = A.shape
+    b_full = torch.from_numpy(np.asarray(input_args.b_vec))
+    t_args = ref.matching.MatchingInputArgs(
+        A=torch.sparse_csc_tensor(
+            torch.from_numpy(A.indptr),
+            torch.from_numpy(A.row_indices.astype(np.int64)),
+            torch.from_numpy(A.data),
+            size=(m, n),
+        ),
+        c=torch.sparse_csc_tensor(
+            torch.from_numpy(C.indptr),
+            torch.from_numpy(C.row_indices.astype(np.int64)),
+            torch.from_numpy(C.data),
+            size=(m, n),
+        ),
+        projection_map=ref.proj.create_projection_map("simplex", {"z": 1.0}, n),
+        b_vec=b_full[:-2] if fairness else b_full,
+        equality_mask=None,
+    )
+    obj = ref.matching.MatchingSolverDualObjectiveFunction(t_args, gamma=GAMMA)
+    if fairness:
+        f_vals = torch.from_numpy(build_fairness_values(A, FAIR_A, FAIR_B))
+        obj = _RefFairnessOracle(ref, obj, f_vals, b_full)
+        m = m + 2  # dual dimension
+
+    p = _proxy_paths(fairness)
+    LOGS.mkdir(parents=True, exist_ok=True)
+    trace = np.zeros(max_iter, dtype=np.float64)
+    t0 = time.perf_counter()
+    log_f = open(p["ref_log"], "w")
+    log_f.write("Matching Log (MovieLens-shaped proxy, reference implementation)\n")
+    log_f.write("----------------------------------------------------------------\n")
+
+    def callback(i, result):
+        vals = {
+            "dual_objective": result.dual_objective.item(),
+            "dual_grad_norm": result.dual_gradient.norm().item(),
+            "reg_penalty": result.reg_penalty.item(),
+            "dual_val_times_grad": result.dual_val_times_grad.item(),
+            "max_pos_slack": result.max_pos_slack.item(),
+            "sum_pos_slack": result.sum_pos_slack.item(),
+        }
+        trace[i - 1] = vals["dual_objective"]
+        log_f.write(_log_line(i, vals) + "\n")
+        if i % 200 == 0 or i == 1:
+            el = time.perf_counter() - t0
+            print(f"[ref] iter {i}/{max_iter} obj={vals['dual_objective']:.3f} ({el:.0f}s)", flush=True)
+            log_f.flush()
+            np.savez(p["ref_trace"], dual_objective=trace[:i], iters=i)
+
+    solver = ref.agd.AcceleratedGradientDescent(
+        max_iter=max_iter,
+        gamma=GAMMA,
+        initial_step_size=INITIAL_STEP,
+        max_step_size=MAX_STEP,
+        iteration_callback=callback,
+    )
+    res = solver.maximize(obj, torch.zeros(m))
+    wall = time.perf_counter() - t0
+    final = float(res.dual_objective)
+    log_f.write(f"Dual objective: {final}\n")
+    log_f.write(f"A shape: ({m}, {n}) nnz: {A.nnz} wall: {wall:.0f}s\n")
+    log_f.close()
+    np.savez(p["ref_trace"], dual_objective=trace, iters=max_iter, wall_s=wall, final=final)
+    print(f"[ref] done: dual={final} wall={wall:.0f}s -> {p['ref_log']}")
+
+
+def run_ours(fairness: bool, max_iter: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+
+    input_args = build_lp(fairness)
+    m = len(np.asarray(input_args.b_vec))  # dual dimension (m+2 with fairness)
+    t0 = time.perf_counter()
+    if fairness:
+        layout = "csc"  # the fairness demo extends the csc layout (like the reference demo)
+        obj = FairnessMatchingObjective(input_args, gamma=GAMMA)
+    else:
+        layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
+        obj = MatchingSolverDualObjectiveFunction(
+            input_args,
+            gamma=GAMMA,
+            layout=layout,
+            plan_cache_dir=str(DATA / "plan_cache"),
+        )
+    build_s = time.perf_counter() - t0
+    solver = AcceleratedGradientDescent(
+        max_iter=max_iter,
+        gamma=GAMMA,
+        initial_step_size=INITIAL_STEP,
+        max_step_size=MAX_STEP,
+    )
+    t0 = time.perf_counter()
+    res = solver.maximize(obj, jnp.zeros(m, jnp.float32))
+    solve_s = time.perf_counter() - t0
+
+    p = _proxy_paths(fairness)
+    LOGS.mkdir(parents=True, exist_ok=True)
+    trace = np.asarray(res.dual_objective_log, dtype=np.float64)
+    final_res = obj.calculate(res.dual_val, gamma=solver.gamma)
+    with open(p["ours_log"], "w") as f:
+        f.write("Matching Log (MovieLens-shaped proxy, dualip-tpu)\n")
+        f.write("--------------------------------------------------\n")
+        for i, v in enumerate(trace, 1):
+            f.write(f"iter={i}   dual_objective={v}\n")
+        vals = {
+            "dual_objective": float(final_res.dual_objective),
+            "dual_grad_norm": float(np.linalg.norm(np.asarray(final_res.dual_gradient))),
+            "reg_penalty": float(final_res.reg_penalty),
+            "dual_val_times_grad": float(final_res.dual_val_times_grad),
+            "max_pos_slack": float(final_res.max_pos_slack),
+            "sum_pos_slack": float(final_res.sum_pos_slack),
+        }
+        f.write("final " + _log_line(max_iter, vals) + "\n")
+        f.write(f"Dual objective: {res.dual_objective}\n")
+        f.write(
+            f"A shape: {input_args.A.shape} nnz: {input_args.A.nnz} "
+            f"layout: {layout} build: {build_s:.0f}s solve: {solve_s:.0f}s\n"
+        )
+    np.savez(
+        p["ours_trace"],
+        dual_objective=trace,
+        iters=max_iter,
+        wall_s=solve_s,
+        final=res.dual_objective,
+        layout=layout,
+    )
+    print(
+        f"[ours] done: dual={res.dual_objective} layout={layout} "
+        f"build={build_s:.0f}s solve={solve_s:.0f}s -> {p['ours_log']}"
+    )
+
+
+def compare(fairness: bool) -> int:
+    p = _proxy_paths(fairness)
+    with np.load(p["ref_trace"]) as d:
+        ref_trace, ref_final = d["dual_objective"], float(d["final"])
+    with np.load(p["ours_trace"]) as d:
+        our_trace, our_final = d["dual_objective"], float(d["final"])
+    n = min(len(ref_trace), len(our_trace))
+    ref_trace, our_trace = ref_trace[:n], our_trace[:n]
+
+    rel = np.abs(our_trace - ref_trace) / np.maximum(np.abs(ref_trace), 1e-12)
+    final_rel = abs(our_final - ref_final) / abs(ref_final)
+    # tail-weighted verdict (benchmark/fuzz_differential.py): transients get
+    # slack, the converged tail and the final value are held tight
+    tail = rel[int(0.9 * n) :]
+    checkpoints = {
+        str(i): {"ref": float(ref_trace[i - 1]), "ours": float(our_trace[i - 1]), "rel": float(rel[i - 1])}
+        for i in (1, 2, 16, 100, 1000, n)
+        if i <= n
+    }
+    summary = {
+        "iters_compared": int(n),
+        "ref_final": ref_final,
+        "ours_final": our_final,
+        "final_rel_err": final_rel,
+        "max_rel_err": float(rel.max()),
+        "tail_max_rel_err": float(tail.max()),
+        "checkpoints": checkpoints,
+        "pass_final_1e-6": bool(final_rel < 1e-6),
+        "pass_tail_2e-4": bool(tail.max() < 2e-4),
+    }
+    p["summary"].write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary, indent=2))
+    ok = summary["pass_final_1e-6"] and summary["pass_tail_2e-4"]
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("cmd", choices=["generate", "run-reference", "run-ours", "compare"])
+    ap.add_argument("--fairness", action="store_true")
+    ap.add_argument("--max_iter", type=int, default=MAX_ITER)
+    args = ap.parse_args()
+    if args.cmd == "generate":
+        generate_proxy_ratings(_proxy_paths(False)["ratings"])
+    elif args.cmd == "run-reference":
+        run_reference(args.fairness, args.max_iter)
+    elif args.cmd == "run-ours":
+        run_ours(args.fairness, args.max_iter)
+    else:
+        raise SystemExit(compare(args.fairness))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,27 +76,88 @@ def test_snapshot_roundtrip(tmp_path):
     assert np.allclose(csc_to_dense(args2.c), csc_to_dense(args.c))
 
 
-def test_fairness_rows_and_solve(tmp_path):
+def test_fairness_objective_semantics(tmp_path):
+    """The fairness extension follows the reference demo's design
+    (matching_complex.rst:77-171): same-pattern A_fairness — NO new primal
+    variables — dual length m+2, grad[-2:] = ±Σ f⊙x.  Regression: a
+    row-appending encoding made the constraints inert (grad exactly 0)."""
     import jax.numpy as jnp
 
-    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
     from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
 
     path = _write_csv(tmp_path)
     cfg = ml.MovielensMatchingConfig(ratings_csv_path=path, per_movie_capacity=0.7)
     args, *_ = ml.prepare_movielens_matching(cfg)
-    ext = ml.add_fairness_rows(args, group_a_rows=[0], group_b_rows=[1], tolerance=0.1)
-    assert ext.A.shape == (5, 3)
-    assert len(np.asarray(ext.b_vec)) == 5
-    assert np.allclose(np.asarray(ext.b_vec)[-2:], 0.1)
+    m = args.A.shape[0]
+    ext = ml.make_fairness_input_args(args, group_a_rows=[0], group_b_rows=[1], tolerance=0.0)
+    assert len(np.asarray(ext.b_vec)) == m + 2
 
-    # fairness rows: +1 per group-A (movie row 0) edge, -1 per group-B edge,
-    # aggregated per user column
-    dense = csc_to_dense(ext.A)
-    assert np.allclose(dense[3], dense[0] - dense[1])
-    assert np.allclose(dense[4], dense[1] - dense[0])
+    # f shares A's pattern: +a/|A| on group-A rows, -a/|B| on group-B rows
+    f = ml.build_fairness_values(args.A, [0], [1])
+    assert f.shape == (args.A.nnz,)
+    sel_a = args.A.row_indices == 0
+    assert np.allclose(f[sel_a], args.A.data[sel_a])
+    assert np.allclose(f[args.A.row_indices == 1], -args.A.data[args.A.row_indices == 1])
 
-    obj = MatchingSolverDualObjectiveFunction(ext, gamma=1e-3)
-    solver = AcceleratedGradientDescent(max_iter=50, gamma=1e-3)
-    res = solver.maximize(obj, jnp.zeros(5, jnp.float32))
+    obj = ml.FairnessMatchingObjective(ext, gamma=1e-3)
+    # at lambda=0 the groups' exposure differs, so the fairness gradient must
+    # be NONZERO and antisymmetric (the broken encoding produced exactly 0)
+    r0 = obj.calculate(jnp.zeros(m + 2, jnp.float32))
+    g0 = np.asarray(r0.dual_gradient)
+    assert abs(g0[-2]) > 1e-6 and np.isclose(g0[-2], -g0[-1])
+
+    # solving with delta=0 must shrink the group disparity vs unconstrained.
+    # Skewed toy: every user strongly prefers movie 10 (group A), capacities
+    # slack — the unconstrained optimum is maximally unfair; gamma=0.05 keeps
+    # AGD smooth enough to settle on 4 users.
+    skew = "userId,movieId,rating,timestamp\n" + "".join(
+        f"{u},10,5.0,0\n{u},20,1.0,0\n" for u in range(1, 5)
+    )
+    p2 = tmp_path / "skew.csv"
+    p2.write_text(skew)
+    cfg2 = ml.MovielensMatchingConfig(ratings_csv_path=str(p2), per_movie_capacity=30.0)
+    args2, *_ = ml.prepare_movielens_matching(cfg2)
+    m2 = args2.A.shape[0]
+    ext2 = ml.make_fairness_input_args(args2, group_a_rows=[0], group_b_rows=[1], tolerance=0.0)
+    gam = 0.05
+    obj_s = ml.FairnessMatchingObjective(ext2, gamma=gam)
+
+    def disparity(dual):
+        lam = np.zeros(m2 + 2, np.float32)
+        lam[: len(dual)] = dual
+        return float(np.asarray(obj_s.calculate(jnp.asarray(lam)).dual_gradient)[-2])
+
+    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
+
+    base = MatchingSolverDualObjectiveFunction(args2, gamma=gam)
+    res_u = AcceleratedGradientDescent(max_iter=800, gamma=gam).maximize(
+        base, jnp.zeros(m2, jnp.float32)
+    )
+    res_f = AcceleratedGradientDescent(max_iter=800, gamma=gam).maximize(
+        obj_s, jnp.zeros(m2 + 2, jnp.float32)
+    )
+    d_u = abs(disparity(np.asarray(res_u.dual_val)))
+    d_f = abs(disparity(np.asarray(res_f.dual_val)))
+    assert np.isfinite(res_f.dual_objective)
+    assert d_u > 0.5  # the unconstrained optimum really is unfair
+    assert d_f < 0.1 * d_u, (d_f, d_u)
+
+
+def test_fairness_through_run_solver(tmp_path):
+    """objective_type='movielens_fairness' via the register_objective
+    extension point (the operator-centric story end to end)."""
+    from dualip_tpu import ComputeArgs, ObjectiveArgs, SolverArgs, run_solver
+
+    path = _write_csv(tmp_path)
+    cfg = ml.MovielensMatchingConfig(ratings_csv_path=path, per_movie_capacity=0.7)
+    args, *_ = ml.prepare_movielens_matching(cfg)
+    ext = ml.make_fairness_input_args(args, group_a_rows=[0], group_b_rows=[1], tolerance=0.1)
+    ml._register_fairness_objective()
+    res = run_solver(
+        input_args=ext,
+        solver_args=SolverArgs(max_iter=30, gamma=1e-3),
+        compute_args=ComputeArgs(),
+        objective_args=ObjectiveArgs(objective_type="movielens_fairness"),
+    )
     assert np.isfinite(res.dual_objective)
+    assert len(np.asarray(res.dual_val)) == args.A.shape[0] + 2

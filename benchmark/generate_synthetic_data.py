@@ -155,15 +155,31 @@ def generate_synthetic_matching_input_args(
     cache_dir = cache_dir or _DEFAULT_CACHE_DIR
     use_cache = seed is not None and rng is None
     backend = os.environ.get("DUALIP_GEN_BACKEND", "numpy")
+    # Disk-backed staging tier (reference ``generate_synthetic_data.py:202-343``
+    # memmapped its cache so >RAM datasets could be assembled): above the
+    # threshold the cache is a directory of raw .npy files loaded with
+    # mmap_mode="r", so the edge arrays never fully materialize in RAM — the
+    # tile builder (native or numpy) reads column slices and the OS pages
+    # them in.  Force with DUALIP_GEN_MEMMAP=1/0.
+    est_bytes = int(num_sources * num_destinations * target_sparsity) * 24
+    mm_env = os.environ.get("DUALIP_GEN_MEMMAP")
+    use_memmap = (
+        mm_env == "1"
+        or (mm_env != "0" and est_bytes > int(os.environ.get("DUALIP_GEN_MEMMAP_THRESHOLD", 4 << 30)))
+    )
 
     arrays = None
     if use_cache:
         path = _cache_path(
             cache_dir, num_sources, num_destinations, target_sparsity, dtype, (seed, backend)
         )
-        if path.exists():
+        mm_dir = path.with_suffix(".mm")
+        keys = ("ccol", "rows", "a", "c", "b")
+        if mm_dir.is_dir() and (mm_dir / "b.npy").exists():
+            arrays = tuple(np.load(mm_dir / f"{k}.npy", mmap_mode="r") for k in keys)
+        elif path.exists():
             with np.load(path) as data:
-                arrays = tuple(data[k] for k in ("ccol", "rows", "a", "c", "b"))
+                arrays = tuple(data[k] for k in keys)
 
     if arrays is None:
         if backend == "native" and rng is None:
@@ -181,13 +197,26 @@ def generate_synthetic_matching_input_args(
                 rng = np.random.default_rng(seed)
             arrays = _generate_matching_numpy(num_sources, num_destinations, target_sparsity, rng)
         if use_cache:
-            path.parent.mkdir(parents=True, exist_ok=True)
             ccol, rows, a, c, b = arrays
-            np.savez(path, ccol=ccol, rows=rows, a=a, c=c, b=b)
+            if use_memmap:
+                mm_dir.mkdir(parents=True, exist_ok=True)
+                for k, arr in zip(keys, arrays):
+                    # values stored in the requested dtype (the cache key
+                    # includes it) so warm loads stay mapped with no astype copy
+                    if k in ("a", "c", "b"):
+                        arr = np.asarray(arr, dtype=dtype)
+                    np.save(mm_dir / f"{k}.npy", arr)
+                # reload disk-backed: frees the in-RAM copies for the caller
+                arrays = tuple(np.load(mm_dir / f"{k}.npy", mmap_mode="r") for k in keys)
+            else:
+                path.parent.mkdir(parents=True, exist_ok=True)
+                np.savez(path, ccol=ccol, rows=rows, a=a, c=c, b=b)
 
     ccol, rows, a, c, b = arrays
     shape = (num_destinations, num_sources)
-    A = csc_from_arrays(ccol, rows, a.astype(dtype), shape)
+    # keep memmap-backed arrays disk-backed: no astype copy when dtypes match
+    a_d = a if a.dtype == np.dtype(dtype) else a.astype(dtype)
+    A = csc_from_arrays(ccol, rows, a_d, shape)
     C = csc_from_arrays(ccol, rows, (-c).astype(dtype), shape)
 
     projection_map = create_projection_map("simplex", {"z": 1.0}, num_sources)

@@ -41,6 +41,32 @@ def test_generator_cache(tmp_path):
     assert np.allclose(a1.A.data, a2.A.data)
 
 
+def test_generator_memmap_tier(tmp_path, monkeypatch):
+    """DUALIP_GEN_MEMMAP=1: the cache becomes a directory of raw .npy files
+    loaded disk-backed (mmap_mode='r') — the >RAM staging tier (reference
+    generate_synthetic_data.py:202-343 memmapped its cache for the same
+    reason).  Numerics identical to the in-RAM npz tier."""
+    sys.path.insert(0, str(REPO / "benchmark"))
+    from generate_synthetic_data import generate_synthetic_matching_input_args
+
+    a_npz = generate_synthetic_matching_input_args(200, 20, 0.1, seed=3, cache_dir=str(tmp_path / "z"))
+    monkeypatch.setenv("DUALIP_GEN_MEMMAP", "1")
+    a_mm = generate_synthetic_matching_input_args(200, 20, 0.1, seed=3, cache_dir=str(tmp_path / "m"))
+    mm_dirs = list((tmp_path / "m").glob("*.mm"))
+    assert mm_dirs and (mm_dirs[0] / "a.npy").exists()
+    # stays disk-backed end to end (asarray wraps the memmap without copying)
+    base = a_mm.A.data
+    while base is not None and not isinstance(base, np.memmap):
+        base = base.base
+    assert isinstance(base, np.memmap)
+    # warm reload takes the memmap branch
+    a_mm2 = generate_synthetic_matching_input_args(200, 20, 0.1, seed=3, cache_dir=str(tmp_path / "m"))
+    for x, y in ((a_npz, a_mm), (a_mm, a_mm2)):
+        assert np.array_equal(np.asarray(x.A.data), np.asarray(y.A.data))
+        assert np.array_equal(np.asarray(x.c.data), np.asarray(y.c.data))
+        assert np.array_equal(np.asarray(x.b_vec), np.asarray(y.b_vec))
+
+
 def _run(script, *args, timeout=600):
     out = subprocess.run(
         [sys.executable, str(script), *args],

@@ -210,6 +210,15 @@ def apply_butterfly(
 DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
 
 
+# Cap on the exchange-axis extent of one fused coarse pass: the kernel holds
+# an (E, wr, 128) block (+ masks, double-buffered) in VMEM, so E must stay
+# bounded as N grows.  Sides whose block count nb exceeds the cap split into
+# TWO contiguous stage groups (high distances, then low — order preserved),
+# each a butterfly along a bounded axis of a reshaped view; that covers
+# nb ≤ E_CAP² (N ≤ 2^33 at the default block size) in 2 passes/side.
+COARSE_E_CAP = 256
+
+
 @dataclass
 class BenesPlanPacked:
     """TPU-ready split of a ``BenesPlan`` at a fixed block size.
@@ -223,24 +232,30 @@ class BenesPlanPacked:
     costs a full materialized copy per application).  The palindrome property
     means ONE buffer serves forward and reverse: reverse iterates the same
     stages backwards.
+
+    Coarse stages are stored as GROUPS: ``pre_groups``/``post_groups`` are
+    static ``(steps, E, I_rows)`` tuples (``steps`` = ((bit, q), ...) in
+    forward execution order, ``q`` the roll distance in E-axis units) with
+    per-group bit-planes in ``pre_masks``/``post_masks``.  One group per side
+    when ``nb ≤ COARSE_E_CAP``; two (high-distance then low) otherwise.
     """
 
     fine_dists: tuple  # static, forward order
-    coarse_pre: tuple  # static (dist, ...) forward order
-    coarse_post: tuple
+    pre_groups: tuple  # static ((steps, E, I_rows), ...) forward order
+    post_groups: tuple
     fine_masks: Array  # (ceil(S_f/8), nb, R, C) uint8 bit-planes
-    coarse_pre_masks: Array  # (ceil(n_coarse/8), N) uint8 bit-planes
-    coarse_post_masks: Array  # (ceil(n_coarse/8), N) uint8 bit-planes
+    pre_masks: tuple  # per-group (ceil(S_g/8), N) uint8 bit-planes
+    post_masks: tuple
     N: int
     n_in: int
     n_out: int
     block_log2: int
 
     def tree_flatten(self):
-        return (self.fine_masks, self.coarse_pre_masks, self.coarse_post_masks), (
+        return (self.fine_masks, self.pre_masks, self.post_masks), (
             self.fine_dists,
-            self.coarse_pre,
-            self.coarse_post,
+            self.pre_groups,
+            self.post_groups,
             self.N,
             self.n_in,
             self.n_out,
@@ -249,15 +264,15 @@ class BenesPlanPacked:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        fine_dists, coarse_pre, coarse_post, N, n_in, n_out, block_log2 = aux
-        fine_masks, coarse_pre_masks, coarse_post_masks = children
+        fine_dists, pre_groups, post_groups, N, n_in, n_out, block_log2 = aux
+        fine_masks, pre_masks, post_masks = children
         return cls(
             fine_dists=fine_dists,
-            coarse_pre=coarse_pre,
-            coarse_post=coarse_post,
+            pre_groups=pre_groups,
+            post_groups=post_groups,
             fine_masks=fine_masks,
-            coarse_pre_masks=coarse_pre_masks,
-            coarse_post_masks=coarse_post_masks,
+            pre_masks=tuple(pre_masks),
+            post_masks=tuple(post_masks),
             N=N,
             n_in=n_in,
             n_out=n_out,
@@ -279,6 +294,51 @@ def _packbits_stages(m: np.ndarray) -> np.ndarray:
     return np.packbits(m != 0, axis=0, bitorder="little")
 
 
+def _pack_side(stage_ids, qs, masks, nb, R, e_cap):
+    """Pack one side's coarse stages into 1-2 contiguous groups.
+
+    ``stage_ids``/``qs`` in forward execution order; ``qs`` are block
+    distances (powers of two < nb).  When nb > e_cap the side splits at the
+    q = e_lo boundary: stages with q ≥ e_lo form the HIGH group (exchange
+    axis E_hi = nb/e_lo, inner I = e_lo·R rows), the rest the LOW group
+    (E = e_lo, I = R).  Both sides' stage sequences are distance-monotone, so
+    the split is contiguous and execution order is preserved.
+    """
+    if not stage_ids:
+        return (), ()
+    if nb <= e_cap:
+        steps = tuple((i, q) for i, q in enumerate(qs))
+        return ((steps, nb, R),), (jnp.asarray(_packbits_stages(masks[stage_ids])),)
+    n_lo = 1
+    while n_lo * n_lo < nb:
+        n_lo *= 2
+    e_lo = min(n_lo, e_cap)
+    e_hi = nb // e_lo
+    if e_hi > e_cap:
+        raise ValueError(f"nb={nb} exceeds two-level coarse capacity ({e_cap}^2)")
+    groups, group_masks = [], []
+    hi_sel = [i for i, q in enumerate(qs) if q >= e_lo]
+    lo_sel = [i for i, q in enumerate(qs) if q < e_lo]
+    for sel, E, I_rows, qdiv in (
+        (hi_sel, e_hi, e_lo * R, e_lo),
+        (lo_sel, e_lo, R, 1),
+    ):
+        if not sel:
+            continue
+        if sel != list(range(sel[0], sel[0] + len(sel))):
+            raise AssertionError("coarse stage split is not contiguous")
+        steps = tuple((j, qs[i] // qdiv) for j, i in enumerate(sel))
+        groups.append((steps, E, I_rows))
+        group_masks.append(jnp.asarray(_packbits_stages(masks[[stage_ids[i] for i in sel]])))
+    # groups were appended (hi, lo); execution order: distances on the pre
+    # side DESCEND (high group first — already correct), on the post side
+    # ASCEND (low group must execute first)
+    if qs and qs[0] < qs[-1]:
+        groups.reverse()
+        group_masks.reverse()
+    return tuple(groups), tuple(group_masks)
+
+
 def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPlanPacked:
     """Split a routed plan into coarse/fine stage groups for the TPU apply."""
     N = plan.masks.shape[1]
@@ -297,13 +357,20 @@ def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPla
         post = list(range(len(plan.dists) - n_coarse, len(plan.dists)))
     nb = N // bs
     R, C = bs // 128, 128
+    e_cap = COARSE_E_CAP
+    pre_groups, pre_masks = _pack_side(
+        pre, [plan.dists[s] // bs for s in pre], masks, nb, R, e_cap
+    )
+    post_groups, post_masks = _pack_side(
+        post, [plan.dists[s] // bs for s in post], masks, nb, R, e_cap
+    )
     return BenesPlanPacked(
         fine_dists=tuple(plan.dists[s] for s in fine),
-        coarse_pre=tuple(plan.dists[s] for s in pre),
-        coarse_post=tuple(plan.dists[s] for s in post),
+        pre_groups=pre_groups,
+        post_groups=post_groups,
         fine_masks=jnp.asarray(_packbits_stages(masks[fine]).reshape(-1, nb, R, C)),
-        coarse_pre_masks=jnp.asarray(_packbits_stages(masks[pre])),
-        coarse_post_masks=jnp.asarray(_packbits_stages(masks[post])),
+        pre_masks=pre_masks,
+        post_masks=post_masks,
         N=N,
         n_in=plan.n_in,
         n_out=plan.n_out,
@@ -359,74 +426,74 @@ def _fine_kernel(dists, R, C, reverse, x_ref, m_ref, o_ref):
     o_ref[0] = x.astype(jnp.bfloat16) if narrow else x
 
 
-def _coarse_kernel(steps, nb, x_ref, m_ref, o_ref):
-    """All cross-block stages of one side, fused over a column strip.
+def _coarse_kernel(steps, E, x_ref, m_ref, o_ref):
+    """All stages of one coarse GROUP, fused over one (E, wr, 128) strip.
 
-    Flat index ``i_blk*bs + j``: a stage at distance ``q*bs`` pairs element
-    ``(i_blk, j)`` with ``(i_blk ^ q, j)`` — a pure exchange along the block
-    axis.  One strip ``V[:, r0:r0+wr, :]`` of the (nb, R, 128) view therefore
-    sees ALL coarse stages of its side in VMEM; previously each stage was its
-    own roll+select full HBM pass.  ``steps`` is a static tuple of
-    (mask_row, q) in execution order (reverse traversal is encoded here, so
-    the mask array never needs flipping on device).
+    Flat index ``o·(E·I) + e·I + i``: a group stage with roll distance ``q``
+    (in E-axis units) pairs element ``(o, e, i)`` with ``(o, e^q, i)`` — a
+    pure exchange along the E axis.  One strip of the (O, E, I_rows, 128)
+    view therefore sees ALL of the group's stages in VMEM; previously each
+    stage was its own roll+select full HBM pass.  ``steps`` is a static tuple
+    of (mask_bit, q) in execution order (reverse traversal is encoded by the
+    caller, so the mask array never needs flipping on device).
 
-    The (nb, R, 128) shape (NOT (nb, bs)) is load-bearing: with the minor dim
-    exactly 128, XLA's (8, 128) tiling of the last two dims is plain linear
-    flat order, so the reshapes from/to the flat vector on either side are
-    free bitcasts.  A (nb, bs) 2-D operand interleaves 8 *different* blocks
-    per tile, and XLA inserted a full-size physical relayout copy (16.8 MB at
-    N=2^22) on BOTH sides of EVERY coarse pass — ~270 MB/iteration of pure
-    copies at the canonical bench, measured via compiled cost analysis."""
+    The minor dim being exactly 128 is load-bearing: XLA's (8, 128) tiling of
+    the last two dims is then plain linear flat order, so the reshapes
+    from/to the flat vector on either side are free bitcasts (a 2-D operand
+    interleaved 8 different blocks per tile and XLA inserted a full-size
+    physical relayout copy on BOTH sides of EVERY coarse pass — ~270
+    MB/iteration of pure copies at the canonical bench)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    x = x_ref[...]
+    x = x_ref[0]
     narrow = x.dtype == jnp.bfloat16  # see _fine_kernel: widen once per strip
     if narrow:
         x = x.astype(jnp.float32)
     wr, C = x.shape[1], x.shape[2]
-    iota_b = jax.lax.broadcasted_iota(jnp.int32, (nb, wr, C), 0)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (E, wr, C), 0)
     cur_plane, mi = -1, None
     for s, q in steps:
         if s >> 3 != cur_plane:  # widen each uint8 bit-plane once, not per stage
             cur_plane = s >> 3
-            mi = m_ref[cur_plane].astype(jnp.int32)
+            mi = m_ref[cur_plane, 0].astype(jnp.int32)
         m = (mi & (1 << (s & 7))) != 0
         bit = (iota_b & q) != 0
-        fwd = pltpu.roll(x, nb - q, 0)
+        fwd = pltpu.roll(x, E - q, 0)
         bwd = pltpu.roll(x, q, 0)
         x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
-    o_ref[...] = x.astype(jnp.bfloat16) if narrow else x
+    o_ref[0] = x.astype(jnp.bfloat16) if narrow else x
 
 
-def _apply_coarse(v, masks, steps, nb, bs, interpret):
-    """Run one fused coarse pass: ``v`` flat (N,), ``masks`` (S_c, N) int8."""
+def _apply_coarse_group(v, masks, steps, E, I_rows, interpret):
+    """Run one fused coarse-group pass: ``v`` flat (N,), ``masks`` (P, N)
+    uint8 bit-planes, exchange along the E axis of the (O, E, I_rows, 128)
+    view.  E ≤ COARSE_E_CAP bounds VMEM independently of N."""
     import functools
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # Strip width: wide for DMA efficiency, but the block is (nb, wr, 128)
-    # and nb grows with N (nb = N/bs) — at N=2^26 a fixed w=2048 put 20 MB on
-    # the 16 MB VMEM stack (in + out f32 + mask planes, double-buffered).
-    # Halve the strip until the resident footprint fits a ~4 MB budget.
     P = masks.shape[0]
-    R, C = bs // 128, 128
-    wr = min(R, 16)  # strip = wr * 128 elements per block
-    while wr > 1 and 2 * (8 + P) * nb * wr * C > (4 << 20):
-        wr //= 2
-    grid = R // wr
-    kernel = functools.partial(_coarse_kernel, steps, nb)
+    C = 128
+    N = v.shape[0]
+    O = N // (E * I_rows * C)
+    # Pallas wants the second-to-last block dim ≡ 0 (mod 8) or full; I_rows
+    # is a power of two, so wr ∈ {I_rows, 8} always satisfies that.  At
+    # E ≤ 256, wr = 8: (in + out + masks, double-buffered) ≲ 5 MB VMEM.
+    wr = min(I_rows, 8)
+    grid = (O, I_rows // wr)
+    kernel = functools.partial(_coarse_kernel, steps, E)
     out = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((nb, wr, C), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, nb, wr, C), lambda j: (0, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, wr, C), lambda o, j: (o, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, E, wr, C), lambda o, j: (0, o, 0, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, wr, C), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),
+        out_specs=pl.BlockSpec((1, E, wr, C), lambda o, j: (o, 0, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, E, I_rows, C), v.dtype),
         interpret=interpret,
-    )(v.reshape(nb, R, C), masks.reshape(P, nb, R, C))
+    )(v.reshape(O, E, I_rows, C), masks.reshape(P, O, E, I_rows, C))
     return out.reshape(-1)
 
 
@@ -439,8 +506,10 @@ def apply_butterfly_tpu(
     truncate: bool = True,
 ) -> Array:
     """Blocked application: fine stages in one Pallas kernel per block,
-    coarse (cross-block) stages in one fused Pallas pass per side — three
-    HBM passes total regardless of N.
+    coarse (cross-block) stages in one fused Pallas pass per GROUP (one
+    group per side while nb ≤ COARSE_E_CAP; two beyond that) — 3 HBM passes
+    total up to N ≈ 2^25 at the default block size, 5 up to N ≈ 2^33, with
+    VMEM bounded independently of N.
 
     Prefer passing a ``BenesPlanPacked`` (``pack_plan``) — packing inside a
     compiled iteration loop costs a materialized copy of the (100 MB-scale)
@@ -456,18 +525,18 @@ def apply_butterfly_tpu(
     pad = N - x.shape[0]
     v = jnp.concatenate([x, jnp.zeros(pad, x.dtype)]) if pad else x
 
-    bs = min(N, 1 << plan.block_log2)
-    nb = N // bs
-    # (mask_row, q) per stage, execution order; q = dist in whole blocks
-    pre_steps = tuple((i, d // bs) for i, d in enumerate(plan.coarse_pre))
-    post_steps = tuple((i, d // bs) for i, d in enumerate(plan.coarse_post))
-    pre_m, post_m = plan.coarse_pre_masks, plan.coarse_post_masks
+    # Coarse groups per side, execution order; reverse swaps the sides,
+    # reverses the group order within a side, and the steps within a group.
+    pre = list(zip(plan.pre_groups, plan.pre_masks))
+    post = list(zip(plan.post_groups, plan.post_masks))
     if reverse:
-        pre_steps, post_steps = post_steps[::-1], pre_steps[::-1]
-        pre_m, post_m = post_m, pre_m
+        pre, post = (
+            [((steps[::-1], E, I), m) for (steps, E, I), m in reversed(post)],
+            [((steps[::-1], E, I), m) for (steps, E, I), m in reversed(pre)],
+        )
 
-    if pre_steps:
-        v = _apply_coarse(v, pre_m, pre_steps, nb, bs, interpret)
+    for (steps, E, I_rows), m in pre:
+        v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
 
     # --- fine stages: Pallas, grid over blocks -----------------------------
     S_f, nb, R, C = plan.fine_masks.shape
@@ -484,8 +553,8 @@ def apply_butterfly_tpu(
         interpret=interpret,
     )(v.reshape(nb, R, C), plan.fine_masks).reshape(-1)
 
-    if post_steps:
-        v = _apply_coarse(v, post_m, post_steps, nb, bs, interpret)
+    for (steps, E, I_rows), m in post:
+        v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
 
     if not truncate:
         return v

@@ -119,3 +119,25 @@ def test_random_shape_soak():
         np.testing.assert_array_equal(back, expect)
         y2 = np.asarray(apply_butterfly_tpu(pack_plan(plan, block_log2=9), x, interpret=True))
         np.testing.assert_array_equal(y2, y)
+
+
+@pytest.mark.parametrize("n,block_log2", [(1 << 16, 7), (90_000, 8)])
+def test_two_level_coarse_groups(n, block_log2):
+    """nb > COARSE_E_CAP forces the hierarchical (two-group-per-side) coarse
+    path — the VMEM-bounded form every N > 2^25 uses at the default block
+    size (here forced with a tiny block so CPU interpret mode stays fast)."""
+    from dualip_tpu.ops.butterfly import pack_plan
+
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    packed = pack_plan(plan, block_log2=block_log2)
+    # both sides must have split into two groups (nb = N/2^bl > 256)
+    assert len(packed.pre_groups) == 2 and len(packed.post_groups) == 2
+    for (steps, E, I_rows), m in zip(packed.pre_groups, packed.pre_masks):
+        assert E <= 256 and m.shape[0] == (len(steps) + 7) // 8
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y[: plan.n_out], x[perm])
+    back = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(y), reverse=True, interpret=True))
+    np.testing.assert_array_equal(back[:n], x)

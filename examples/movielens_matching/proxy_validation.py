@@ -376,7 +376,12 @@ def main():
     ap.add_argument("cmd", choices=["generate", "run-reference", "run-ours", "compare"])
     ap.add_argument("--fairness", action="store_true")
     ap.add_argument("--max_iter", type=int, default=MAX_ITER)
+    ap.add_argument("--platform", default=None, help="cpu | tpu (default: ambient backend)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "generate":
         generate_proxy_ratings(_proxy_paths(False)["ratings"])
     elif args.cmd == "run-reference":

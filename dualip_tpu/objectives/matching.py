@@ -629,10 +629,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         # reference returned x from its one hot path, matching.py:155-162;
         # the fast layouts here emit x as an extra kernel output on demand
         # and scatter it back to flat CSC order via the host flat-index map).
-        if self.mesh is not None:
+        if self.mesh is not None and (self.row_layout is not None or self.use_pallas):
             raise NotImplementedError(
-                "save_primal is not supported on mesh-sharded objectives "
-                "(reference parity: unsupported in distributed mode, matching.py:255-256)"
+                "save_primal on a mesh is supported for the csc layout only "
+                "(the butterfly/pallas shard_map pipelines do not emit x; "
+                "reference parity baseline: unsupported in distributed mode at "
+                "all, matching.py:255-256)"
             )
         if any(spec.flat_idx is None for spec in self.bcsc.specs):
             raise NotImplementedError(

@@ -285,3 +285,21 @@ def test_butterfly_bf16_tiles_close_to_fp32(carry):
     # 3-digit-accuracy solves / larger gamma)
     assert np.allclose(g1, g2, atol=1e-1 * scale), np.abs(g1 - g2).max() / scale
     assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=4e-2)
+
+
+def test_save_primal_on_csc_mesh():
+    """save_primal works on the mesh-sharded csc objective (beyond the
+    reference, which raises in distributed mode, matching.py:255-256)."""
+    from dualip_tpu.parallel.mesh import default_mesh
+
+    rng = np.random.default_rng(15)
+    m, n = 16, 160
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_single = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_mesh = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, mesh=default_mesh())
+    lam = jnp.asarray(np.abs(np.random.default_rng(2).normal(size=m)).astype(np.float32))
+    r1 = o_single.calculate(lam, save_primal=True)
+    r2 = o_mesh.calculate(lam, save_primal=True)
+    assert np.allclose(np.asarray(r2.primal_var), np.asarray(r1.primal_var), atol=2e-5)

@@ -88,8 +88,9 @@ def load_native() -> Optional[ctypes.CDLL]:
             lib.dualip_benes_route.restype = None
             lib.dualip_benes_route.argtypes = [
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int,
             ]
-            if lib.dualip_native_abi_version() != 2:
+            if lib.dualip_native_abi_version() != 3:
                 return None
         except AttributeError as e:  # incompatible / truncated .so
             print(f"dualip native library rejected: {e}")
@@ -178,13 +179,17 @@ def fill_tile_native(
     return rows_out, a_out, c_out, length, col_ids, flat_idx
 
 
-def benes_route_native(src: np.ndarray, threads: int = 0) -> Optional[np.ndarray]:
+def benes_route_native(
+    src: np.ndarray, threads: int = 0, block_log2: int = 0
+) -> Optional[np.ndarray]:
     """(2n-1, N) int8 Benes stage masks for the completed bijection ``src``
     on N = 2^n slots (src[i] = input slot feeding output slot i), or None.
 
     Bit-for-bit the same masks as the numpy router's looping-argument
     construction (``dualip_tpu/ops/butterfly.py::benes_route``), computed by
-    parallel direct cycle walking instead of pointer doubling.
+    parallel direct cycle walking instead of pointer doubling: coarse stages
+    at full N with K=16 cycle-cut chains, remaining stages block-resident in
+    cache (``block_log2`` slots per block; 0 = native default 2^16).
     """
     lib = load_native()
     if lib is None:
@@ -193,5 +198,5 @@ def benes_route_native(src: np.ndarray, threads: int = 0) -> Optional[np.ndarray
     n = N.bit_length() - 1
     src = np.ascontiguousarray(src, dtype=np.int32)
     masks = np.empty((2 * n - 1, N), dtype=np.int8)
-    lib.dualip_benes_route(N, _ptr(src), _ptr(masks), threads)
+    lib.dualip_benes_route(N, _ptr(src), _ptr(masks), threads, block_log2)
     return masks

@@ -108,12 +108,21 @@ def benes_route(
             raise ValueError("pad_to must be a power of two")
     n = N.bit_length() - 1
 
-    # complete to a bijection on N slots (spares carry zeros either way)
+    # Complete to a bijection on N slots (spares carry zeros either way).
+    # Identity-preferring: a padding output slot whose same-numbered input is
+    # also unused maps to itself, making it a FIXED POINT of every routing
+    # stage — the cycle-walking router short-circuits fixed points, so the
+    # pow2 tail [n_out, N) (up to ~2x the real payload) routes in O(1)/slot
+    # instead of joining the miss-bound orbit chases.
     src = np.full(N, -1, dtype=np.int32)
     src[:n_out] = perm
     used = np.zeros(N, dtype=bool)
     used[perm] = True
-    src[n_out:] = np.nonzero(~used)[0]
+    tail = np.arange(n_out, N)
+    fix = ~used[tail]  # same-numbered input free -> identity
+    src[tail[fix]] = tail[fix]
+    used[tail[fix]] = True
+    src[tail[~fix]] = np.nonzero(~used)[0]
 
     n_stages = 2 * n - 1
 

@@ -330,14 +330,21 @@ def build_row_layout(
         else:
             N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
         # σ: row-space → col-space; col padding slots pull zeros from unused
-        # row-space / pad slots (bijection completion).
+        # row-space / pad slots (bijection completion).  Identity-preferring:
+        # a padding column slot whose same-numbered row slot is also unused
+        # maps to itself — together with benes_route's identity tail this
+        # turns most padding into routing fixed points, which the cycle-
+        # walking router short-circuits (docs/performance.md).
         perm = np.full(col_total, -1, dtype=np.int64)
         perm[axflat_all] = zpos_all
-        missing = np.nonzero(perm < 0)[0]
         used = np.zeros(N, dtype=bool)
         used[zpos_all] = True
-        spare = np.nonzero(~used)[0]
-        perm[missing] = spare[: missing.size]
+        missing = np.nonzero(perm < 0)[0]
+        fix = ~used[missing]
+        perm[missing[fix]] = missing[fix]
+        used[missing[fix]] = True
+        rest = missing[~fix]
+        perm[rest] = np.nonzero(~used)[0][: rest.size]
         plan = None
         cache_path = None
         if plan_cache_dir is not None:

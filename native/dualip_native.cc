@@ -275,79 +275,308 @@ void dualip_fill_tile(const int64_t* indptr, const int32_t* row_indices,
 // small constants, and every per-slot pass parallelizes across the thread
 // pool (the cycles of h are confined to independent 2^(b+1)-slot blocks).
 //
+// The walk is latency-bound (a serial chase of random-access pointers), so
+// the dependent-load chain is cut 8x vs the naive construction:
+//   * h is materialized per stage (hbuf[i] = inv[src[i^D]^D], an independent
+//     gather pass the core pipelines) so each chase step is ONE dependent
+//     load instead of two;
+//   * each orbit is walked ONCE, recorded into a scratch buffer, and both
+//     its own color and its XOR-complement orbit's color are written from
+//     the replay: the h-orbit of i^D is exactly {j^D : j in orbit(i)}
+//     (adjacent elements of the alternating constraint cycle land in
+//     opposite parity classes), so min(orbit(i^D)) = min over the recorded
+//     orbit of j^D — no second walk, and the complement orbit is never
+//     chased at all.  Fixed points (identity-completed padding slots —
+//     see rowmajor.py's identity-preferring completion) short-circuit.
+//
+namespace benes {
+
+// Tag byte per slot: (epoch << 1) | color.  Epoch advances per stage, so no
+// per-stage clear is needed; plain (non-atomic) writes race benignly —
+// every concurrent writer computes the identical value.
+static inline bool tag_fresh(const uint8_t* tag, int64_t i, uint8_t epoch) {
+  return (tag[i] >> 1) == epoch;
+}
+
+// One routing stage on slots [base, base+M) of src (M = 2^(b+1)..N, a
+// whole number of independent 2^(b+1) cycle blocks).  inv/hbuf/tag are
+// M-sized scratch indexed LOCALLY (i - base); masks/new_src absolute.
+// `kcut`: number of cycle-cut chains for the orbit walk (1 = plain serial
+// chase; >1 spreads K marked points around each orbit with h^K jump tables
+// and walks K independent dependency chains — the chase is latency-bound,
+// so K concurrent chains run ~K× faster until the memory system saturates).
+struct StageScratch {
+  std::vector<int32_t> inv, hbuf, hk;  // hk: h^K jump table (coarse only)
+  std::vector<uint8_t> tag;
+  std::vector<int32_t> record;
+  uint8_t epoch = 0;
+  void ensure(int64_t M, bool with_hk) {
+    if ((int64_t)inv.size() < M) {
+      inv.resize(M);
+      hbuf.resize(M);
+      tag.assign(M, 0);
+      epoch = 0;
+    }
+    if (with_hk && (int64_t)hk.size() < M) hk.resize(M);
+  }
+};
+
+}  // namespace benes
+
+// Routes a bijection src0 on N = 2^n slots through a 2n-1 stage Benes
+// network (same looping-argument construction, bit-for-bit, as the numpy
+// router in dualip_tpu/ops/butterfly.py::benes_route — cited there).  The
+// numpy router vectorizes the 2-coloring with pointer doubling, O(N log^2 N)
+// with large temporaries; here cycles are walked directly and the work is
+// split into two phases shaped by the memory hierarchy:
+//
+//   * COARSE stages (cycle blocks 2^(b+1) > the fine block size): full-N
+//     passes.  The orbit walk is a latency-bound serial pointer chase, so
+//     it is cut three ways: h is materialized (hbuf[i] = inv[src[i^D]^D])
+//     so each step is ONE dependent load; each orbit is walked ONCE and
+//     colors for both it and its XOR-complement orbit are written from the
+//     recorded walk (the h-orbit of i^D is exactly {j^D : j in orbit(i)},
+//     so min(orbit(i^D)) falls out of the same walk); and K=16 marked
+//     points are spread around each long orbit via an h^16 jump table,
+//     giving 16 independent dependency chains per thread (each chain walks
+//     stride-16 from its mark until it reaches any mark — together they
+//     cover the orbit exactly once for any gcd(16, L)).
+//   * FINE stages (all remaining b, plus the middle stage): processed
+//     block-by-block, each 2^bf-slot block running ALL its remaining
+//     stages while resident in cache — one pass over HBM instead of one
+//     per stage.  Blocks are independent (the Benes recursion confines
+//     later cycles inside them) and parallelize across threads.
+//
+// Fixed points (identity-completed padding slots — see rowmajor.py's
+// identity-preferring completion) short-circuit in O(1) everywhere.
+//
 // src0: input slot feeding each output slot (caller completes the bijection
 // and zero-pads, exactly as the numpy router does).  masks_out: (2n-1, N)
-// int8, caller-allocated.
+// int8, caller-allocated.  block_log2: fine-phase block size (working set
+// ~17 B/slot must fit the per-thread share of LLC; <=0 picks the default).
 void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
-                        int threads) {
+                        int threads, int block_log2) {
   int n = 0;
   while ((int64_t(1) << n) < N) ++n;
   int64_t n_stages = 2 * n - 1;
+  int nt = threads > 0 ? threads : hardware_threads();
+  // Default sized for per-core L2 (~4 MB here): a 2^16-slot block's working
+  // set (src+inv+hbuf+tag ~13 B/slot = ~850 KB) stays cache-resident per
+  // thread; measured faster than L3-sized blocks on this host at N=2^26
+  // (fine phase 11 s vs 44 s at 2^22 — virtualized LLC undercuts lscpu).
+  if (block_log2 <= 0) block_log2 = 16;
+  int bf = std::min(block_log2, n);
+  constexpr int K = 16;  // cycle-cut chains (and the h^K jump stride)
 
   std::vector<int32_t> src(src0, src0 + N);
-  std::vector<int32_t> inv(N), rep(N), color(N), new_src(N);
+  std::vector<int32_t> new_src(N);
 
-  for (int t = 0; t < n - 1; ++t) {
+  // ---- coarse phase: stages with cycle blocks 2^(b+1) > 2^bf ------------
+  std::vector<int32_t> inv, hbuf, hk;
+  std::vector<uint8_t> tag;
+  int t = 0;
+  if (n - 1 > bf) {
+    inv.resize(N);
+    hbuf.resize(N);
+    hk.resize(N);
+    tag.assign(N, 0);
+  }
+  std::vector<std::vector<int32_t>> scratch(nt);
+  for (; t < n - 1 && (n - 1 - t) + 1 > bf; ++t) {
     int b = n - 1 - t;
     int32_t D = int32_t(1) << b;
+    uint8_t epoch = static_cast<uint8_t>((t & 0x7F) + 1);
     parallel_for(N, [&](int64_t lo, int64_t hi) {
       for (int64_t i = lo; i < hi; ++i) inv[src[i]] = static_cast<int32_t>(i);
     }, threads);
-
     // h(i) = inv[src[i ^ D] ^ D]; its cycles live inside 2^(b+1) blocks.
-    int64_t B = int64_t(1) << (b + 1);
-    int64_t n_blocks = N / B;
-    auto color_block = [&](int64_t blo, int64_t bhi) {
-      for (int64_t blk = blo; blk < bhi; ++blk) {
-        int64_t base = blk * B;
-        // rep[i] = min slot id over the h-orbit of i (walk each orbit twice)
-        for (int64_t i = base; i < base + B; ++i) rep[i] = -1;
-        for (int64_t i = base; i < base + B; ++i) {
-          if (rep[i] >= 0) continue;
-          int32_t mn = static_cast<int32_t>(i);
-          int32_t j = static_cast<int32_t>(i);
-          do {
-            if (j < mn) mn = j;
-            j = inv[src[j ^ D] ^ D];
-          } while (j != static_cast<int32_t>(i));
-          do {
-            rep[j] = mn;
-            j = inv[src[j ^ D] ^ D];
-          } while (j != static_cast<int32_t>(i));
-        }
-        for (int64_t i = base; i < base + B; ++i)
-          color[i] = rep[i] > rep[i ^ D] ? 1 : 0;
-      }
-    };
-    if (n_blocks >= 2) {
-      parallel_for(n_blocks, color_block, threads);
-    } else {
-      color_block(0, n_blocks);
+    parallel_for(N, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) hbuf[i] = inv[src[i ^ D] ^ D];
+    }, threads);
+    // h^K jump table by repeated squaring (4 gather passes for K=16);
+    // fixed points stay fixed, so the passes are cheap on identity tails.
+    parallel_for(N, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) hk[i] = hbuf[hbuf[i]];  // h^2
+    }, threads);
+    for (int sq = 0; sq < 3; ++sq) {  // h^4, h^8, h^16
+      parallel_for(N, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) new_src[i] = hk[hk[i]];
+      }, threads);
+      std::swap(hk, new_src);
     }
+
+    // Orbit coloring.  Threads claim unvisited orbit starts from disjoint
+    // scan ranges; races (two threads walking an orbit and/or its
+    // complement concurrently) are benign — both compute the identical
+    // min-id pair, so every tag write is idempotent, and a lost mark only
+    // costs a duplicate walk.
+    std::atomic<int> tid_counter{0};
+    parallel_for(N, [&](int64_t lo, int64_t hi) {
+      int tid = tid_counter.fetch_add(1);
+      auto& sc = scratch[tid % nt];
+      for (int64_t i = lo; i < hi; ++i) {
+        if (benes::tag_fresh(tag.data(), i, epoch)) continue;
+        int32_t first = static_cast<int32_t>(i);
+        int32_t j = hbuf[i];
+        if (j == first) {  // fixed point: orbit {i}, complement {i^D}
+          tag[i] = static_cast<uint8_t>((epoch << 1) | ((i >> b) & 1));
+          continue;
+        }
+        // Marked points: first, h(first), ..., h^(K-1)(first).
+        int32_t marks[K];
+        int nm = 1;
+        marks[0] = first;
+        int32_t mn = first, mnc = first ^ D;
+        sc.clear();
+        sc.push_back(first);
+        bool tiny = false;
+        for (; nm < K; ++nm) {
+          if (j == first) {  // orbit length < K: fully recorded already
+            tiny = true;
+            break;
+          }
+          marks[nm] = j;
+          sc.push_back(j);
+          if (j < mn) mn = j;
+          if ((j ^ D) < mnc) mnc = j ^ D;
+          j = hbuf[j];
+        }
+        if (!tiny) {
+          // K chains, stride h^K, each runs until it reaches ANY mark;
+          // round-robin so ~K cache misses are in flight at once.
+          int32_t cur[K];
+          bool live[K];
+          int n_live = K;
+          for (int k = 0; k < K; ++k) {
+            cur[k] = hk[marks[k]];
+            live[k] = true;
+          }
+          while (n_live > 0) {
+            for (int k = 0; k < K; ++k) {
+              if (!live[k]) continue;
+              int32_t v = cur[k];
+              bool is_mark = false;
+              for (int q = 0; q < K; ++q) is_mark |= (v == marks[q]);
+              if (is_mark) {
+                live[k] = false;
+                --n_live;
+                continue;
+              }
+              sc.push_back(v);
+              if (v < mn) mn = v;
+              if ((v ^ D) < mnc) mnc = v ^ D;
+              cur[k] = hk[v];
+            }
+          }
+        }
+        uint8_t col = static_cast<uint8_t>(mn > mnc);
+        uint8_t tv = static_cast<uint8_t>((epoch << 1) | col);
+        uint8_t tw = static_cast<uint8_t>((epoch << 1) | (1 - col));
+        for (int32_t v : sc) {
+          tag[v] = tv;
+          tag[v ^ D] = tw;
+        }
+      }
+    }, threads);
 
     int8_t* m_entry = masks_out + int64_t(t) * N;
     int8_t* m_exit = masks_out + (n_stages - 1 - t) * N;
     parallel_for(N, [&](int64_t lo, int64_t hi) {
       for (int64_t i = lo; i < hi; ++i) {
         int32_t j = src[i];
-        m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color[i]);
-        m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color[i]);
-        int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color[i] << b);
-        int32_t j2 = (j & ~D) | (color[i] << b);
+        int32_t color = tag[i] & 1;
+        m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color);
+        m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color);
+        int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color << b);
+        int32_t j2 = (j & ~D) | (color << b);
         new_src[i2] = j2;
       }
     }, threads);
     std::swap(src, new_src);
   }
 
-  // middle stage (distance 1): remaining disagreement is a pair swap
-  int8_t* m_mid = masks_out + int64_t(n - 1) * N;
-  parallel_for(N, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i)
-      m_mid[i] = static_cast<int8_t>(src[i] != static_cast<int32_t>(i));
-  }, threads);
+  // ---- fine phase: every remaining stage, block-resident ----------------
+  // After the coarse stages, cycles are confined to 2^bfi blocks
+  // (bfi = b_next + 1): each block runs stages b = bfi-1 .. 1 plus the
+  // middle stage entirely in cache, writing its absolute slices of the
+  // entry/exit mask rows.
+  int t0_fine = t;
+  int bfi = (t0_fine < n - 1) ? (n - 1 - t0_fine) + 1 : std::min(n, 1);
+  int64_t B = int64_t(1) << bfi;
+  int64_t n_blocks = N / B;
+  if (n_blocks == 0) {
+    n_blocks = 1;
+    B = N;
+  }
+  {
+    std::vector<benes::StageScratch> per_thread(nt);
+    std::atomic<int> tid_counter{0};
+    parallel_for(n_blocks, [&](int64_t blo, int64_t bhi) {
+      int tid = tid_counter.fetch_add(1) % nt;
+      auto& ss = per_thread[tid];
+      ss.ensure(B, false);
+      auto& sc = scratch[tid];
+      for (int64_t blk = blo; blk < bhi; ++blk) {
+        int64_t base = blk * B;
+        int32_t* sb = src.data() + base;
+        for (int tt = t0_fine; tt < n - 1; ++tt) {
+          int b = n - 1 - tt;
+          int32_t D = int32_t(1) << b;
+          uint8_t epoch = static_cast<uint8_t>((tt & 0x7F) + 1);
+          if (ss.epoch >= epoch && tt == t0_fine) {
+            // new block reusing scratch: restart the epoch sequence
+            std::memset(ss.tag.data(), 0, B);
+          }
+          for (int64_t i = 0; i < B; ++i) ss.inv[sb[i] - base] = static_cast<int32_t>(i);
+          for (int64_t i = 0; i < B; ++i)
+            ss.hbuf[i] = ss.inv[(sb[i ^ D] - base) ^ D];
+          for (int64_t i = 0; i < B; ++i) {
+            if (benes::tag_fresh(ss.tag.data(), i, epoch)) continue;
+            int32_t first = static_cast<int32_t>(i);
+            int32_t j = ss.hbuf[i];
+            if (j == first) {
+              ss.tag[i] = static_cast<uint8_t>((epoch << 1) | ((i >> b) & 1));
+              continue;
+            }
+            sc.clear();
+            int32_t mn = first, mnc = first ^ D;
+            sc.push_back(first);
+            for (; j != first; j = ss.hbuf[j]) {
+              sc.push_back(j);
+              if (j < mn) mn = j;
+              if ((j ^ D) < mnc) mnc = j ^ D;
+            }
+            uint8_t col = static_cast<uint8_t>(mn > mnc);
+            uint8_t tv = static_cast<uint8_t>((epoch << 1) | col);
+            uint8_t tw = static_cast<uint8_t>((epoch << 1) | (1 - col));
+            for (int32_t v : sc) {
+              ss.tag[v] = tv;
+              ss.tag[v ^ D] = tw;
+            }
+          }
+          int8_t* m_entry = masks_out + int64_t(tt) * N + base;
+          int8_t* m_exit = masks_out + (n_stages - 1 - tt) * N + base;
+          for (int64_t i = 0; i < B; ++i) {
+            int32_t j = sb[i] - static_cast<int32_t>(base);
+            int32_t color = ss.tag[i] & 1;
+            m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color);
+            m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color);
+            int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color << b);
+            int32_t j2 = (j & ~D) | (color << b);
+            ss.inv[i2] = j2 + static_cast<int32_t>(base);  // reuse inv as new_src
+          }
+          std::memcpy(sb, ss.inv.data(), B * sizeof(int32_t));
+          ss.epoch = epoch;
+        }
+        // middle stage (distance 1): remaining disagreement is a pair swap
+        int8_t* m_mid = masks_out + int64_t(n - 1) * N + base;
+        for (int64_t i = 0; i < B; ++i)
+          m_mid[i] = static_cast<int8_t>(sb[i] != static_cast<int32_t>(base + i));
+      }
+    }, threads);
+  }
 }
 
-int dualip_native_abi_version() { return 2; }
+int dualip_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -115,3 +115,36 @@ def test_native_benes_router_matches_numpy():
         nl.benes_route_native = orig
     assert p_nat.dists == p_np.dists
     np.testing.assert_array_equal(np.asarray(p_nat.masks), np.asarray(p_np.masks))
+
+
+def test_native_benes_router_coarse_phase_matches_numpy():
+    """The coarse full-N phase (K=16 cycle-cut chains + h^16 jump tables)
+    and the coarse→fine handoff produce the same masks as the numpy router.
+    The default fine-block size (2^22) exceeds every test-scale N, so this
+    forces tiny blocks to push many stages through the coarse path — with a
+    partially-used permutation so identity-completed padding (fixed-point
+    short-circuit) is exercised too."""
+    import dualip_tpu.io.native_loader as nl
+    import dualip_tpu.ops.butterfly as bf
+
+    if not nl.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    N = 1 << 14
+    for n_out in (N, N // 2 + 123, 1 << 10):
+        perm = rng.permutation(N)[:n_out]
+        p_np = bf.benes_route(perm, pad_to=N)
+        src = np.full(N, -1, dtype=np.int64)
+        src[:n_out] = perm
+        used = np.zeros(N, dtype=bool)
+        used[perm] = True
+        tail = np.arange(n_out, N)
+        fix = ~used[tail]
+        src[tail[fix]] = tail[fix]
+        used[tail[fix]] = True
+        src[tail[~fix]] = np.nonzero(~used)[0]
+        for blk in (4, 8, 11):
+            masks = nl.benes_route_native(src.astype(np.int32), block_log2=blk)
+            np.testing.assert_array_equal(masks, np.asarray(p_np.masks))

@@ -300,24 +300,54 @@ def _packbits_stages(m: np.ndarray) -> np.ndarray:
     """(S, X) masks → (ceil(S/8), X) uint8 bit-planes, stage s → bit s&7 of plane s>>3."""
     if m.shape[0] == 0:
         return np.zeros((0, m.shape[1]), dtype=np.uint8)
+    if m.dtype in (np.int8, np.uint8):
+        # 0/1-valued by construction: pack the bytes directly (skips a
+        # full-size boolean temporary — 30 GB at the canonical N=2^29)
+        return np.packbits(m.view(np.uint8), axis=0, bitorder="little")
     return np.packbits(m != 0, axis=0, bitorder="little")
 
 
-def _pack_side(stage_ids, qs, masks, nb, R, e_cap):
-    """Pack one side's coarse stages into 1-2 contiguous groups.
+def _extract_planes(planes: np.ndarray, s0: int, s1: int) -> np.ndarray:
+    """Re-base packed stage bit-planes to the stage subrange [s0, s1).
 
-    ``stage_ids``/``qs`` in forward execution order; ``qs`` are block
-    distances (powers of two < nb).  When nb > e_cap the side splits at the
-    q = e_lo boundary: stages with q ≥ e_lo form the HIGH group (exchange
-    axis E_hi = nb/e_lo, inner I = e_lo·R rows), the rest the LOW group
-    (E = e_lo, I = R).  Both sides' stage sequences are distance-monotone, so
-    the split is contiguous and execution order is preserved.
+    ``planes`` packs stage s at bit s&7 of plane s>>3 (little bit-order);
+    the result packs stage s0+j at bit j&7 of plane j>>3.  A pure byte-
+    shift splice — stage masks are never unpacked, so regrouping the
+    (ceil(S/8), N) cache planes into kernel groups costs O(planes) instead
+    of materializing the (S, N) int8 form (30 GB at the canonical N=2^29)."""
+    N = planes.shape[1]
+    if s1 <= s0:
+        return np.zeros((0, N), dtype=np.uint8)
+    P = (s1 - s0 + 7) // 8
+    out = np.empty((P, N), dtype=np.uint8)
+    for q in range(P):
+        s = s0 + 8 * q
+        k, r = s >> 3, s & 7
+        v = planes[k] >> r if r else planes[k].copy()
+        if r and k + 1 < planes.shape[0]:
+            v |= (planes[k + 1] << (8 - r)).astype(np.uint8)
+        nbits = min(8, s1 - s)
+        if nbits < 8:
+            v &= (1 << nbits) - 1
+        out[q] = v
+    return out
+
+
+def _pack_side(s0, s1, qs, planes, nb, R, e_cap):
+    """Pack one side's coarse stages [s0, s1) into 1-2 contiguous groups.
+
+    ``qs`` are the block distances (powers of two < nb) in forward execution
+    order.  When nb > e_cap the side splits at the q = e_lo boundary: stages
+    with q ≥ e_lo form the HIGH group (exchange axis E_hi = nb/e_lo, inner
+    I = e_lo·R rows), the rest the LOW group (E = e_lo, I = R).  Both sides'
+    stage sequences are distance-monotone, so the split is contiguous and
+    execution order is preserved.
     """
-    if not stage_ids:
+    if s1 <= s0:
         return (), ()
     if nb <= e_cap:
         steps = tuple((i, q) for i, q in enumerate(qs))
-        return ((steps, nb, R),), (jnp.asarray(_packbits_stages(masks[stage_ids])),)
+        return ((steps, nb, R),), (jnp.asarray(_extract_planes(planes, s0, s1)),)
     n_lo = 1
     while n_lo * n_lo < nb:
         n_lo *= 2
@@ -338,7 +368,9 @@ def _pack_side(stage_ids, qs, masks, nb, R, e_cap):
             raise AssertionError("coarse stage split is not contiguous")
         steps = tuple((j, qs[i] // qdiv) for j, i in enumerate(sel))
         groups.append((steps, E, I_rows))
-        group_masks.append(jnp.asarray(_packbits_stages(masks[[stage_ids[i] for i in sel]])))
+        group_masks.append(
+            jnp.asarray(_extract_planes(planes, s0 + sel[0], s0 + sel[-1] + 1))
+        )
     # groups were appended (hi, lo); execution order: distances on the pre
     # side DESCEND (high group first — already correct), on the post side
     # ASCEND (low group must execute first)
@@ -350,39 +382,61 @@ def _pack_side(stage_ids, qs, masks, nb, R, e_cap):
 
 def pack_plan(plan: BenesPlan, block_log2: int = DEFAULT_BLOCK_LOG2) -> BenesPlanPacked:
     """Split a routed plan into coarse/fine stage groups for the TPU apply."""
-    N = plan.masks.shape[1]
+    return pack_plan_from_planes(
+        _packbits_stages(np.asarray(plan.masks)),
+        plan.dists,
+        plan.n_in,
+        plan.n_out,
+        block_log2,
+    )
+
+
+def pack_plan_from_planes(
+    planes: np.ndarray,
+    dists,
+    n_in: int,
+    n_out: int,
+    block_log2: int = DEFAULT_BLOCK_LOG2,
+) -> BenesPlanPacked:
+    """Build the TPU plan straight from packed stage bit-planes.
+
+    ``planes`` is the (ceil(S/8), N) uint8 form ``_packbits_stages`` emits —
+    exactly what the disk cache stores — so a warm start never materializes
+    the (S, N) unpacked masks."""
+    planes = np.ascontiguousarray(planes).view(np.uint8)
+    N = planes.shape[1]
     n = N.bit_length() - 1
-    masks = np.asarray(plan.masks)
+    S = len(dists)
     if N <= (1 << block_log2):
-        fine = list(range(len(plan.dists)))
-        pre: List[int] = []
-        post: List[int] = []
+        pre = (0, 0)
+        fine = (0, S)
+        post = (S, S)
         bs = N
     else:
         bs = 1 << block_log2
         n_coarse = n - block_log2
-        pre = list(range(n_coarse))
-        fine = list(range(n_coarse, len(plan.dists) - n_coarse))
-        post = list(range(len(plan.dists) - n_coarse, len(plan.dists)))
+        pre = (0, n_coarse)
+        fine = (n_coarse, S - n_coarse)
+        post = (S - n_coarse, S)
     nb = N // bs
     R, C = bs // 128, 128
     e_cap = COARSE_E_CAP
     pre_groups, pre_masks = _pack_side(
-        pre, [plan.dists[s] // bs for s in pre], masks, nb, R, e_cap
+        pre[0], pre[1], [dists[s] // bs for s in range(*pre)], planes, nb, R, e_cap
     )
     post_groups, post_masks = _pack_side(
-        post, [plan.dists[s] // bs for s in post], masks, nb, R, e_cap
+        post[0], post[1], [dists[s] // bs for s in range(*post)], planes, nb, R, e_cap
     )
     return BenesPlanPacked(
-        fine_dists=tuple(plan.dists[s] for s in fine),
+        fine_dists=tuple(dists[s] for s in range(*fine)),
         pre_groups=pre_groups,
         post_groups=post_groups,
-        fine_masks=jnp.asarray(_packbits_stages(masks[fine]).reshape(-1, nb, R, C)),
+        fine_masks=jnp.asarray(_extract_planes(planes, *fine).reshape(-1, nb, R, C)),
         pre_masks=pre_masks,
         post_masks=post_masks,
         N=N,
-        n_in=plan.n_in,
-        n_out=plan.n_out,
+        n_in=n_in,
+        n_out=n_out,
         block_log2=block_log2,
     )
 

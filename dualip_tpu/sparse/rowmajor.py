@@ -321,7 +321,7 @@ def build_row_layout(
     zpos_all[order] = zpos_sorted
 
     if method == "butterfly":
-        from dualip_tpu.ops.butterfly import benes_route, pack_plan
+        from dualip_tpu.ops.butterfly import benes_route
 
         # col_total = Σ K·L2 over column tiles (panel regions, see PanelTile)
         row_total = zoff  # = Σ R·Lr over row tiles
@@ -345,49 +345,64 @@ def build_row_layout(
         used[missing[fix]] = True
         rest = missing[~fix]
         perm[rest] = np.nonzero(~used)[0][: rest.size]
+        use_tpu_kernel = jax.default_backend() == "tpu"
         plan = None
+        packed = None  # (planes, dists, n_in, n_out) — the cache/TPU currency
         cache_path = None
         if plan_cache_dir is not None:
             import hashlib
             from pathlib import Path
 
-            from dualip_tpu.ops.butterfly import BenesPlan
-
             key = hashlib.sha1(perm.tobytes()).hexdigest()[:20]
             # v2: masks stored as bit-planes (8 stages/byte) — the unpacked
-            # (2n-1, N) int8 form is 3.3 GB at N=2^26
+            # (2n-1, N) int8 form is 3.3 GB at N=2^26 (30 GB at 2^29)
             cache_path = Path(plan_cache_dir) / f"benes2_{key}_{N}_{row_total}.npz"
             if cache_path.exists():
                 d = np.load(cache_path)
-                S = int(d["n_stages"])
-                masks = np.unpackbits(d["masks_packed"], axis=0, count=S, bitorder="little")
-                plan = BenesPlan(
-                    dists=tuple(int(x) for x in d["dists"]),
-                    masks=masks.astype(np.int8),  # host-side; staged only if unpacked path
-                    n_in=int(d["n_in"]),
-                    n_out=int(d["n_out"]),
+                packed = (
+                    np.asarray(d["masks_packed"]).view(np.uint8),
+                    tuple(int(x) for x in d["dists"]),
+                    int(d["n_in"]),
+                    int(d["n_out"]),
                 )
-        if plan is None:
-            plan = benes_route(perm, pad_to=N, n_in=row_total)
+        if packed is None:
+            routed = benes_route(perm, pad_to=N, n_in=row_total)
+            from dualip_tpu.ops.butterfly import _packbits_stages
+
+            masks_np = np.asarray(routed.masks)
+            packed = (_packbits_stages(masks_np), routed.dists, routed.n_in, routed.n_out)
+            if not use_tpu_kernel:
+                plan = routed  # CPU path consumes the unpacked form directly
+            del routed, masks_np
             if cache_path is not None:
                 cache_path.parent.mkdir(parents=True, exist_ok=True)
                 tmp = cache_path.with_suffix(".tmp.npz")
-                masks_np = np.asarray(plan.masks)
                 np.savez(
                     tmp,
-                    dists=np.asarray(plan.dists, dtype=np.int64),
-                    masks_packed=np.packbits(masks_np != 0, axis=0, bitorder="little"),
-                    n_stages=masks_np.shape[0],
-                    n_in=plan.n_in,
-                    n_out=plan.n_out,
+                    dists=np.asarray(packed[1], dtype=np.int64),
+                    masks_packed=packed[0],
+                    n_stages=len(packed[1]),
+                    n_in=packed[2],
+                    n_out=packed[3],
                 )
                 tmp.replace(cache_path)  # atomic: no corrupt cache on interrupt
-        use_tpu_kernel = jax.default_backend() == "tpu"
         if use_tpu_kernel:
-            # Pre-split masks into the coarse/fine form the kernel streams;
-            # packing inside the iteration loop would copy the (100 MB-scale)
-            # mask array on every application.
-            plan = pack_plan(plan)
+            # Split straight from the bit-planes into the coarse/fine form
+            # the kernel streams (packing inside the iteration loop would
+            # copy the 100 MB-GB-scale mask array on every application; and
+            # a warm start never materializes the unpacked (S, N) masks).
+            from dualip_tpu.ops.butterfly import pack_plan_from_planes
+
+            plan = pack_plan_from_planes(*packed)
+        elif plan is None:  # warm start on CPU: unpack the cached planes
+            from dualip_tpu.ops.butterfly import BenesPlan
+
+            planes, dists, p_n_in, p_n_out = packed
+            masks = np.unpackbits(planes, axis=0, count=len(dists), bitorder="little")
+            plan = BenesPlan(
+                dists=dists, masks=masks.astype(np.int8), n_in=p_n_in, n_out=p_n_out
+            )
+        del packed
         col_tiles_T = []
         for t in bcsc.tiles:
             a_np, c_np = np.asarray(t.a), np.asarray(t.c)

@@ -375,7 +375,7 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
   std::vector<int32_t> inv, hbuf, hk;
   std::vector<uint8_t> tag;
   int t = 0;
-  if (n - 1 > bf) {
+  if (n > bf) {  // the coarse loop runs iff the first stage's 2^n block > 2^bf
     inv.resize(N);
     hbuf.resize(N);
     hk.resize(N);

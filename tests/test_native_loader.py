@@ -145,6 +145,8 @@ def test_native_benes_router_coarse_phase_matches_numpy():
         src[tail[fix]] = tail[fix]
         used[tail[fix]] = True
         src[tail[~fix]] = np.nonzero(~used)[0]
-        for blk in (4, 8, 11):
+        # blk = n-1 pins the boundary where exactly ONE stage is coarse
+        # (allocation off-by-one regression: scratch must exist when n > blk)
+        for blk in (4, 8, 11, 13):
             masks = nl.benes_route_native(src.astype(np.int32), block_log2=blk)
             np.testing.assert_array_equal(masks, np.asarray(p_np.masks))

@@ -112,6 +112,13 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     res = solver.maximize(obj, lam0)
     solve_s = time.perf_counter() - t0
 
+    mem = {}
+    try:  # HBM high-water (present on TPU backends; absent/0 elsewhere)
+        ms = jax.local_devices()[0].memory_stats() or {}
+        if ms.get("peak_bytes_in_use"):
+            mem["hbm_peak_gb"] = round(ms["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -121,6 +128,7 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
                 "build_s": round(build_s, 1),
                 "solve_s": round(solve_s, 2),
                 "dual_objective": res.dual_objective,
+                **mem,
             }
         )
     )

@@ -1,0 +1,138 @@
+"""Canonical-scale benchmark: the reference's full 25M-source × 10K-dest
+matching workload (~250M nnz; reference ``benchmark/config.py:9-19``) run
+end-to-end on one TPU chip.
+
+Two phases, both resumable through disk caches:
+
+1. ``--host-build``: cold ingestion on CPU — native O(E) generation,
+   BlockCSC tiling, butterfly routing — leaving the generator cache
+   (memmap tier) and the Beneš plan cache on disk.  Phase timings and RSS
+   are the "cold build" artifact (``benchmark/calibrate_host_pipeline.py``
+   prints the same breakdown at any size).
+2. ``--tpu-run``: fresh-process solves on the TPU via ``bench.py``'s child
+   protocol (one solve per process, fetch-terminated, warm caches), at a
+   small and a large iteration count; reports per-iteration time as
+   min(pair slope, big-run t/n) plus dual objective and HBM high-water.
+
+Results append to ``benchmark/results/canonical_250m.json``.
+
+Honest-measurement caveats are bench.py's: the TPU pool is shared and
+tunneled, so treat any single run as an upper bound on hardware cost.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
+sys.path.insert(0, str(HERE))
+
+RESULTS = HERE / "results" / "canonical_250m.json"
+
+# Canonical shape (env overrides exist only for smoke-testing the plumbing)
+NUM_SOURCES = int(os.environ.get("DUALIP_CANON_SOURCES", 25_000_000))
+NUM_DESTS = int(os.environ.get("DUALIP_CANON_DESTS", 10_000))
+SPARSITY = 1e-3
+SEED = 42
+
+
+def _append_result(entry: dict) -> None:
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    data = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
+    data.append(entry)
+    RESULTS.write_text(json.dumps(data, indent=1))
+
+
+def host_build() -> None:
+    os.environ.setdefault("DUALIP_GEN_BACKEND", "native")
+    import subprocess
+
+    t0 = time.perf_counter()
+    out = subprocess.run(
+        [sys.executable, str(HERE / "calibrate_host_pipeline.py"), str(NUM_SOURCES)],
+        capture_output=True,
+        text=True,
+    )
+    wall = round(time.perf_counter() - t0, 1)
+    line = next(
+        (l for l in out.stdout.splitlines() if l.startswith("{")), None
+    )
+    if line is None:
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("host build failed")
+    entry = {"phase": "host_build", "wall_s": wall, **json.loads(line)}
+    _append_result(entry)
+    print(json.dumps(entry))
+
+
+def tpu_run(n_small: int, n_big: int, child_timeout: int) -> None:
+    os.environ.setdefault("DUALIP_GEN_BACKEND", "native")
+    os.environ.setdefault("DUALIP_BENCH_CACHE", str(HERE.parent / "benchmark_data"))
+    os.environ.setdefault(
+        "DUALIP_BENCH_PLAN_CACHE", str(HERE.parent / "benchmark_data" / "plan_cache")
+    )
+    import bench
+
+    entry = {"phase": "tpu_run", "num_sources": NUM_SOURCES, "children": []}
+    r_small = bench._run_child(NUM_SOURCES, NUM_DESTS, SPARSITY, n_small, SEED, child_timeout)
+    if r_small:
+        entry["children"].append(r_small)
+        print(f"# small ({n_small} iters): {r_small}", file=sys.stderr)
+        # size the big run so solve time stays inside the child timeout even
+        # if the pool stays at the rate the small run just saw
+        rate = r_small["solve_s"] / n_small
+        overhead = r_small["gen_s"] + r_small["build_s"] + 180
+        n_big = min(n_big, max(2 * n_small, int((0.7 * child_timeout - overhead) / rate)))
+        n_big -= n_big % 100
+    r_big = (
+        bench._run_child(NUM_SOURCES, NUM_DESTS, SPARSITY, n_big, SEED, child_timeout)
+        if n_big > n_small
+        else None
+    )
+    if r_big:
+        entry["children"].append(r_big)
+        print(f"# big ({n_big} iters): {r_big}", file=sys.stderr)
+    candidates = []
+    if r_small and r_big:
+        slope = (r_big["solve_s"] - r_small["solve_s"]) / (r_big["iters"] - r_small["iters"])
+        if slope > 0:
+            candidates.append(slope)
+    if r_big:
+        candidates.append(r_big["solve_s"] / r_big["iters"])
+    elif r_small:
+        candidates.append(r_small["solve_s"] / r_small["iters"])
+    if not candidates:
+        raise SystemExit("no TPU child completed")
+    entry["ms_per_iter"] = round(min(candidates) * 1000, 2)
+    ref = r_big or r_small
+    entry["nnz"] = ref["nnz"]
+    entry["dual_objective"] = ref["dual_objective"]
+    if "hbm_peak_gb" in ref:
+        entry["hbm_peak_gb"] = ref["hbm_peak_gb"]
+    _append_result(entry)
+    print(json.dumps(entry))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host-build", action="store_true")
+    ap.add_argument("--tpu-run", action="store_true")
+    ap.add_argument("--iters-small", type=int, default=200)
+    ap.add_argument("--iters-big", type=int, default=1000)
+    ap.add_argument("--child-timeout", type=int, default=3300)
+    args = ap.parse_args()
+    if args.host_build:
+        host_build()
+    if args.tpu_run:
+        tpu_run(args.iters_small, args.iters_big, args.child_timeout)
+    if not (args.host_build or args.tpu_run):
+        ap.error("pass --host-build and/or --tpu-run")
+
+
+if __name__ == "__main__":
+    main()

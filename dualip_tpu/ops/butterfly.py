@@ -253,7 +253,7 @@ class BenesPlanPacked:
     pre_groups: tuple  # static ((steps, E, I_rows), ...) forward order
     post_groups: tuple
     fine_masks: Array  # (ceil(S_f/8), nb, R, C) uint8 bit-planes
-    pre_masks: tuple  # per-group (ceil(S_g/8), N) uint8 bit-planes
+    pre_masks: tuple  # per-group (ceil(S_g/8), O, E, I_rows, 128) uint8 bit-planes
     post_masks: tuple
     N: int
     n_in: int
@@ -333,6 +333,18 @@ def _extract_planes(planes: np.ndarray, s0: int, s1: int) -> np.ndarray:
     return out
 
 
+def _shaped_group_mask(planes: np.ndarray, s0: int, s1: int, E: int, I_rows: int):
+    """Extract a group's planes re-based to [s0, s1) AND pre-shaped to the
+    (P, O, E, I_rows, 128) view the coarse kernel streams.  Shaping at pack
+    time matters: a (P, N) mask reshaped inside the compiled iteration loop
+    materializes a full copy per application (512 MB × 3 per iteration at
+    the canonical N=2^29 — the reshape crosses the tiled layout)."""
+    g = _extract_planes(planes, s0, s1)
+    P, N = g.shape
+    O = N // (E * I_rows * 128)
+    return jnp.asarray(g.reshape(P, O, E, I_rows, 128))
+
+
 def _pack_side(s0, s1, qs, planes, nb, R, e_cap):
     """Pack one side's coarse stages [s0, s1) into 1-2 contiguous groups.
 
@@ -347,7 +359,7 @@ def _pack_side(s0, s1, qs, planes, nb, R, e_cap):
         return (), ()
     if nb <= e_cap:
         steps = tuple((i, q) for i, q in enumerate(qs))
-        return ((steps, nb, R),), (jnp.asarray(_extract_planes(planes, s0, s1)),)
+        return ((steps, nb, R),), (_shaped_group_mask(planes, s0, s1, nb, R),)
     n_lo = 1
     while n_lo * n_lo < nb:
         n_lo *= 2
@@ -369,7 +381,7 @@ def _pack_side(s0, s1, qs, planes, nb, R, e_cap):
         steps = tuple((j, qs[i] // qdiv) for j, i in enumerate(sel))
         groups.append((steps, E, I_rows))
         group_masks.append(
-            jnp.asarray(_extract_planes(planes, s0 + sel[0], s0 + sel[-1] + 1))
+            _shaped_group_mask(planes, s0 + sel[0], s0 + sel[-1] + 1, E, I_rows)
         )
     # groups were appended (hi, lo); execution order: distances on the pre
     # side DESCEND (high group first — already correct), on the post side
@@ -528,9 +540,14 @@ def _coarse_kernel(steps, E, x_ref, m_ref, o_ref):
 
 
 def _apply_coarse_group(v, masks, steps, E, I_rows, interpret):
-    """Run one fused coarse-group pass: ``v`` flat (N,), ``masks`` (P, N)
-    uint8 bit-planes, exchange along the E axis of the (O, E, I_rows, 128)
-    view.  E ≤ COARSE_E_CAP bounds VMEM independently of N."""
+    """Run one fused coarse-group pass: ``v`` flat (N,), ``masks``
+    (P, O, E, I_rows, 128) uint8 bit-planes (pre-shaped at pack time),
+    exchange along the E axis of the (O, E, I_rows, 128) view.
+    E ≤ COARSE_E_CAP bounds VMEM independently of N.  The carry block is
+    donated (``input_output_aliases``): each output block depends only on
+    the same-index input block (the exchange happens along E inside the
+    VMEM-resident block), so the pass runs in place — no second N-sized
+    HBM buffer per application."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -555,8 +572,9 @@ def _apply_coarse_group(v, masks, steps, E, I_rows, interpret):
         ],
         out_specs=pl.BlockSpec((1, E, wr, C), lambda o, j: (o, 0, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((O, E, I_rows, C), v.dtype),
+        input_output_aliases={0: 0},
         interpret=interpret,
-    )(v.reshape(O, E, I_rows, C), masks.reshape(P, O, E, I_rows, C))
+    )(v.reshape(O, E, I_rows, C), masks)
     return out.reshape(-1)
 
 
@@ -604,6 +622,7 @@ def apply_butterfly_tpu(
     # --- fine stages: Pallas, grid over blocks -----------------------------
     S_f, nb, R, C = plan.fine_masks.shape
     kernel = functools.partial(_fine_kernel, plan.fine_dists, R, C, reverse)
+    # carry donated: block i reads/writes only block i (in-place safe)
     v = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -613,6 +632,7 @@ def apply_butterfly_tpu(
         ],
         out_specs=pl.BlockSpec((1, R, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, R, C), v.dtype),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(v.reshape(nb, R, C), plan.fine_masks).reshape(-1)
 

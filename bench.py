@@ -105,7 +105,10 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     build_s = time.perf_counter() - t0
 
     solver = AcceleratedGradientDescent(
-        max_iter=max_iter, gamma=1e-3, initial_step_size=1e-3, max_step_size=1e-1
+        max_iter=max_iter, gamma=1e-3, initial_step_size=1e-3, max_step_size=1e-1,
+        # shared pools can kill long single launches (per-execution watchdog);
+        # chunked launches queue asynchronously, numerics identical
+        launch_chunk=int(os.environ.get("DUALIP_BENCH_LAUNCH_CHUNK", "0")),
     )
     lam0 = jnp.zeros(num_dests, jnp.float32)
     t0 = time.perf_counter()

@@ -172,6 +172,7 @@ class AcceleratedGradientDescent:
         stop_check_every: int = 0,
         restart: Optional[str] = None,
         restart_min_spacing: int = 50,
+        launch_chunk: int = 0,
     ):
         if gamma_decay_type not in (None, "step"):
             raise ValueError(f"Unsupported gamma decay type: {gamma_decay_type}")
@@ -201,6 +202,12 @@ class AcceleratedGradientDescent:
         self.stop_check_every = int(stop_check_every)
         if stop_condition is not None and self.stop_check_every <= 0:
             self.stop_check_every = 100
+        # Cap iterations per device launch (0 = whole solve in one program).
+        # Chunked launches enqueue back-to-back with NO host round-trip
+        # (metrics stay on device), so numerics and async pipelining are
+        # unchanged — the knob exists for shared/preemptible device pools
+        # whose per-execution watchdog kills long single launches.
+        self.launch_chunk = max(0, int(launch_chunk))
         # Adaptive restart (extension; O'Donoghue & Candès 2015, "Adaptive
         # restart for accelerated gradient schemes"): Nesterov momentum is
         # optimal for plain smooth problems but OSCILLATES on strongly-
@@ -403,7 +410,7 @@ class AcceleratedGradientDescent:
         run_chunk, fields_present = cached
 
         observing = self.iteration_callback is not None or _mlflow_state.is_enabled()
-        chunk = self.callback_chunk if observing else self.max_iter
+        chunk = self.callback_chunk if observing else (self.launch_chunk or self.max_iter)
         if self.stop_condition is not None:
             chunk = min(chunk, self.stop_check_every)
 

@@ -157,6 +157,7 @@ def run_solver(
             save_primal=solver_args.save_primal,
             restart=solver_args.restart,
             restart_min_spacing=solver_args.restart_min_spacing,
+            launch_chunk=solver_args.launch_chunk,
         )
 
         # Warm start (reference run_solver.py:127-132) + optional step-size

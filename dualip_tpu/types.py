@@ -35,6 +35,13 @@ class SolverArgs:
     # stay safe on polyhedral LP duals.
     restart: Optional[Literal["gradient", "function"]] = None
     restart_min_spacing: int = 50
+    # Extension: cap iterations per device launch (0 = whole solve is one
+    # program).  Chunked launches enqueue asynchronously with no host sync;
+    # numerics are bit-identical for chunk >= 2 (chunk=1 compiles to an
+    # unrolled program whose fusion differs at the ~1e-5 fp-reassociation
+    # level).  Use on shared/preemptible pools whose per-execution watchdog
+    # kills long single launches (optimizers/agd.py).
+    launch_chunk: int = 0
 
 
 @dataclass

@@ -136,3 +136,23 @@ def test_save_primal_with_strict_duck_typed_objective():
     res = solver.maximize(StrictToyObjective(), jnp.array([0.0], dtype=jnp.float32))
     assert np.isfinite(res.dual_objective)
     assert res.objective_result.dual_gradient is not None
+
+
+def test_launch_chunk_bit_identical():
+    """Chunked device launches (shared-pool watchdog knob) reproduce the
+    single-launch solve bit for bit: the chunks slice the same iteration/beta
+    sequences and never sync to host between launches.  (chunk=1 is excluded
+    by design: XLA unrolls single-iteration scans into a differently-fused
+    program, shifting results at the fp-reassociation level ~1e-5.)"""
+    lam0 = jnp.array([0.0, 0.0], dtype=jnp.float32)
+    whole = AcceleratedGradientDescent(
+        max_iter=30, gamma=None, initial_step_size=1e-3
+    ).maximize(SimpleObjective(), lam0)
+    for chunk in (7, 30, 64):
+        chunked = AcceleratedGradientDescent(
+            max_iter=30, gamma=None, initial_step_size=1e-3, launch_chunk=chunk
+        ).maximize(SimpleObjective(), lam0)
+        assert np.array_equal(
+            np.asarray(whole.dual_objective_log), np.asarray(chunked.dual_objective_log)
+        ), chunk
+        assert np.array_equal(np.asarray(whole.dual_val), np.asarray(chunked.dual_val))

@@ -24,7 +24,12 @@ classic warmup+timeit protocol is meaningless here):
 * N_big adapts to the rate the small run just measured, so a congested
   window can't blow the child timeout;
 * the remote compile service caches by HLO hash, so repeats after the first
-  don't pay compilation.
+  don't pay compilation;
+* the protocol is BUDGETED to finish under the driver's own timeout: a
+  small probe whose wall shows a contended window skips the (10x costlier)
+  big run, a quiet-window slope (<= DUALIP_BENCH_GOOD_MS) ends the run
+  immediately, and a SIGALRM self-deadline at budget+60 s guarantees the
+  JSON line is printed by this process rather than truncated by a kill.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` compares against the reference PyTorch implementation
@@ -182,11 +187,23 @@ def main():
     # on the shared pool (observed ~100x rate swings between windows); the
     # loop stops at DUALIP_BENCH_BUDGET_S regardless, so a high repeat count
     # only helps on a quiet pool.
-    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 8))
+    repeats = int(os.environ.get("DUALIP_BENCH_REPEATS", 16))
     seed = int(os.environ.get("DUALIP_BENCH_SEED", 42))
 
-    budget_s = float(os.environ.get("DUALIP_BENCH_BUDGET_S", 1800))
-    child_timeout = int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 900))
+    # The budget default must clear the DRIVER's own timeout with headroom
+    # (round 2 was SIGKILLed at the 1800 s default): 1200 s of measurement,
+    # and a SIGALRM 60 s later as a belt-and-braces self-deadline so the
+    # JSON line is always emitted by US, never truncated by the caller.
+    budget_s = float(os.environ.get("DUALIP_BENCH_BUDGET_S", 1200))
+    child_timeout = int(os.environ.get("DUALIP_BENCH_CHILD_TIMEOUT", 600))
+    # A pair slope at/below this is a quiet-window measurement — emit and
+    # exit immediately instead of spending the rest of the budget confirming
+    # what we already know (quiet-window reference: 1.24 ms/iter,
+    # docs/performance.md).  A small run whose solve wall exceeds
+    # QUIET_SMALL_S sits in a contended window: skip the big run (don't pay
+    # 10x its cost to learn a slope we'd discard) and re-probe instead.
+    good_ms = float(os.environ.get("DUALIP_BENCH_GOOD_MS", 1.6))
+    quiet_small_s = float(os.environ.get("DUALIP_BENCH_QUIET_SMALL_S", 16))
     t_start = time.perf_counter()
     # Each rep runs (small, big) back to back so the pair shares one pool-
     # congestion window; the slope is computed per pair and the best pair
@@ -208,7 +225,11 @@ def main():
         pass
 
     def _disarm():
-        for _sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+        except (ValueError, OSError, AttributeError):
+            pass
+        for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
             try:
                 signal.signal(_sig, signal.SIG_IGN)
             except (ValueError, OSError):
@@ -218,18 +239,29 @@ def main():
         _disarm()  # a follow-up kill must not preempt the final JSON print
         raise _Terminated()
 
-    for _sig in (signal.SIGTERM, signal.SIGINT):
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
         try:
             signal.signal(_sig, _on_term)
         except (ValueError, OSError):
             pass  # non-main thread / unsupported platform
+    try:  # self-deadline: whatever happens, emit the JSON by budget + 60 s
+        signal.setitimer(signal.ITIMER_REAL, budget_s + 60)
+    except (ValueError, OSError, AttributeError):
+        pass
+
+    def _remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    def _child_timeout():
+        # never let one child run past the budget (+ slack for its teardown)
+        return max(60, min(child_timeout, int(_remaining()) + 30))
 
     try:
         for rep in range(repeats):
-            if time.perf_counter() - t_start > budget_s and pairs:
-                print("# budget reached; using completed pairs", file=sys.stderr)
+            if _remaining() <= 0 and (pairs or smalls or bigs):
+                print("# budget reached; using completed samples", file=sys.stderr)
                 break
-            r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed, child_timeout)
+            r_small = _run_child(num_sources, num_dests, sparsity, n_small, seed, _child_timeout())
             if r_small is None:
                 # blackout regime: a saturated pool can make EVERY probe at
                 # this size blow the child timeout; halve the probe so some
@@ -246,16 +278,27 @@ def main():
                 f"build {r_small['build_s']}s, obj {r_small['dual_objective']:.2f})",
                 file=sys.stderr,
             )
+            # Contended-window triage: the big run costs ~10x the probe, so
+            # only pay for it when the probe just showed a quiet window (or
+            # we're in the last third of the budget and must take what the
+            # pool gives — a raw big-run rate is still an honest bound).
+            desperate = _remaining() < budget_s / 3
+            if r_small["solve_s"] > quiet_small_s and not desperate:
+                print(
+                    f"# rep {rep}: contended window (small {r_small['solve_s']}s > "
+                    f"{quiet_small_s}s); skipping big run",
+                    file=sys.stderr,
+                )
+                continue
             rate = r_small["solve_s"] / n_small  # s/iter in this congestion window
             overhead = r_small["gen_s"] + r_small["build_s"] + 60  # + compile/stage slack
-            remaining = budget_s - (time.perf_counter() - t_start)
-            fit = min(0.7 * child_timeout, 0.9 * remaining - overhead)
+            fit = min(0.7 * _child_timeout(), 0.9 * _remaining() - overhead)
             n_big_run = min(n_big, max(2 * n_small, int(fit / rate)))
-            n_big_run -= n_big_run % 100  # stable shapes across close rates
+            n_big_run -= n_big_run % 500 if n_big_run >= 1000 else n_big_run % 100
             if n_big_run <= n_small:
                 print(f"# rep {rep}: too slow for a big run (rate {rate*1e3:.0f} ms/iter)", file=sys.stderr)
                 continue
-            r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed, child_timeout)
+            r_big = _run_child(num_sources, num_dests, sparsity, n_big_run, seed, _child_timeout())
             if r_big is None:
                 continue
             bigs.append((n_big_run, r_big["solve_s"]))
@@ -268,6 +311,12 @@ def main():
             slope = (r_big["solve_s"] - r_small["solve_s"]) / (n_big_run - n_small)
             pairs.append(slope)
             print(f"# rep {rep} slope: {slope*1000:.1f} ms/iter", file=sys.stderr)
+            if 0 < slope * 1000 <= good_ms:
+                print(
+                    f"# quiet-window slope {slope*1000:.2f} ms/iter <= {good_ms}; done",
+                    file=sys.stderr,
+                )
+                break
     except _Terminated:
         print("# terminated mid-measurement; emitting best-so-far metric", file=sys.stderr)
     finally:

@@ -208,6 +208,19 @@ class AcceleratedGradientDescent:
         # unchanged — the knob exists for shared/preemptible device pools
         # whose per-execution watchdog kills long single launches.
         self.launch_chunk = max(0, int(launch_chunk))
+        if self.launch_chunk == 1:
+            # chunk=1 fully unrolls the scan into per-iteration programs whose
+            # fusion differs from the chunked/scanned program at the ~1e-5
+            # level (tests/test_agd.py excludes it); clamp to the smallest
+            # chunk that keeps numerics bit-identical to the one-launch solve.
+            import warnings
+
+            warnings.warn(
+                "launch_chunk=1 drifts ~1e-5 from the single-launch solve "
+                "(per-iteration program fusion); clamping to 2.",
+                stacklevel=2,
+            )
+            self.launch_chunk = 2
         # Adaptive restart (extension; O'Donoghue & Candès 2015, "Adaptive
         # restart for accelerated gradient schemes"): Nesterov momentum is
         # optimal for plain smooth problems but OSCILLATES on strongly-

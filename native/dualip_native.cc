@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <random>
 #include <thread>
 #include <vector>
@@ -33,11 +34,15 @@ int hardware_threads() {
   return n == 0 ? 2 : static_cast<int>(n);
 }
 
-// Parallel for over [0, n) in contiguous chunks.
+// Parallel for over [0, n) in contiguous chunks.  `min_n` is the serial
+// cutoff: the default 4096 suits per-element bodies; callers whose bodies
+// carry coarse-grained work per index (e.g. a whole cache block of router
+// stages) should pass a small min_n so even a handful of indices spread
+// across threads.
 template <typename F>
-void parallel_for(int64_t n, F&& fn, int max_threads = 0) {
+void parallel_for(int64_t n, F&& fn, int max_threads = 0, int64_t min_n = 4096) {
   int nt = max_threads > 0 ? max_threads : hardware_threads();
-  if (n < 4096 || nt <= 1) {
+  if (n < min_n || nt <= 1) {
     fn(0, n);
     return;
   }
@@ -292,10 +297,17 @@ void dualip_fill_tile(const int64_t* indptr, const int32_t* row_indices,
 namespace benes {
 
 // Tag byte per slot: (epoch << 1) | color.  Epoch advances per stage, so no
-// per-stage clear is needed; plain (non-atomic) writes race benignly —
-// every concurrent writer computes the identical value.
+// per-stage clear is needed.  The coarse-phase shared tag uses relaxed
+// std::atomic<uint8_t> accesses: concurrent writers always store the
+// identical value (two threads walking an orbit/its complement compute the
+// same min-id pair), so relaxed atomics compile to the same plain byte ops
+// while staying standard-clean (no formal data race under TSan).
 static inline bool tag_fresh(const uint8_t* tag, int64_t i, uint8_t epoch) {
   return (tag[i] >> 1) == epoch;
+}
+static inline bool tag_fresh_atomic(const std::atomic<uint8_t>* tag, int64_t i,
+                                    uint8_t epoch) {
+  return (tag[i].load(std::memory_order_relaxed) >> 1) == epoch;
 }
 
 // One routing stage on slots [base, base+M) of src (M = 2^(b+1)..N, a
@@ -373,13 +385,15 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
 
   // ---- coarse phase: stages with cycle blocks 2^(b+1) > 2^bf ------------
   std::vector<int32_t> inv, hbuf, hk;
-  std::vector<uint8_t> tag;
+  // Shared across walker threads: relaxed atomics (identical-value writes;
+  // see benes::tag_fresh).  value-initialized to 0 by the () in new[].
+  std::unique_ptr<std::atomic<uint8_t>[]> tag;
   int t = 0;
   if (n > bf) {  // the coarse loop runs iff the first stage's 2^n block > 2^bf
     inv.resize(N);
     hbuf.resize(N);
     hk.resize(N);
-    tag.assign(N, 0);
+    tag.reset(new std::atomic<uint8_t>[N]());
   }
   std::vector<std::vector<int32_t>> scratch(nt);
   for (; t < n - 1 && (n - 1 - t) + 1 > bf; ++t) {
@@ -415,11 +429,12 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
       int tid = tid_counter.fetch_add(1);
       auto& sc = scratch[tid % nt];
       for (int64_t i = lo; i < hi; ++i) {
-        if (benes::tag_fresh(tag.data(), i, epoch)) continue;
+        if (benes::tag_fresh_atomic(tag.get(), i, epoch)) continue;
         int32_t first = static_cast<int32_t>(i);
         int32_t j = hbuf[i];
         if (j == first) {  // fixed point: orbit {i}, complement {i^D}
-          tag[i] = static_cast<uint8_t>((epoch << 1) | ((i >> b) & 1));
+          tag[i].store(static_cast<uint8_t>((epoch << 1) | ((i >> b) & 1)),
+                       std::memory_order_relaxed);
           continue;
         }
         // Marked points: first, h(first), ..., h^(K-1)(first).
@@ -473,8 +488,8 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
         uint8_t tv = static_cast<uint8_t>((epoch << 1) | col);
         uint8_t tw = static_cast<uint8_t>((epoch << 1) | (1 - col));
         for (int32_t v : sc) {
-          tag[v] = tv;
-          tag[v ^ D] = tw;
+          tag[v].store(tv, std::memory_order_relaxed);
+          tag[v ^ D].store(tw, std::memory_order_relaxed);
         }
       }
     }, threads);
@@ -484,7 +499,7 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
     parallel_for(N, [&](int64_t lo, int64_t hi) {
       for (int64_t i = lo; i < hi; ++i) {
         int32_t j = src[i];
-        int32_t color = tag[i] & 1;
+        int32_t color = tag[i].load(std::memory_order_relaxed) & 1;
         m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color);
         m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color);
         int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color << b);
@@ -573,7 +588,10 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
         for (int64_t i = 0; i < B; ++i)
           m_mid[i] = static_cast<int8_t>(sb[i] != static_cast<int32_t>(base + i));
       }
-    }, threads);
+      // min_n=2: each index is a whole cache block carrying every remaining
+      // stage's work, so parallelize even when n_blocks < the per-element
+      // cutoff (all N < 2^28 at the default block_log2=16).
+    }, threads, /*min_n=*/2);
   }
 }
 

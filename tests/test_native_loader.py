@@ -120,7 +120,7 @@ def test_native_benes_router_matches_numpy():
 def test_native_benes_router_coarse_phase_matches_numpy():
     """The coarse full-N phase (K=16 cycle-cut chains + h^16 jump tables)
     and the coarse→fine handoff produce the same masks as the numpy router.
-    The default fine-block size (2^22) exceeds every test-scale N, so this
+    The default fine-block size (2^16) exceeds every test-scale N, so this
     forces tiny blocks to push many stages through the coarse path — with a
     partially-used permutation so identity-completed padding (fixed-point
     short-circuit) is exercised too."""

@@ -53,6 +53,55 @@ sys.path.insert(0, str(HERE))
 sys.path.insert(0, str(HERE / "benchmark"))
 
 
+def build_bench_objective(args, num_sources, num_dests, sparsity, seed, layout=None):
+    """Construct the benchmark objective exactly as a bench child does.
+
+    Shared with ``benchmark/run_canonical_scale.py --prime-tile-cache`` so a
+    CPU build writes the device-ready layout cache under the SAME key the TPU
+    children will look up."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
+
+    nnz = args.A.nnz
+    # Default to the butterfly layout on TPU (measured ~38x the csc layout's
+    # iteration rate at this workload: no per-nnz gather/scatter, fused
+    # projection — docs/performance.md).  csc elsewhere: the butterfly path's
+    # Pallas kernels run in slow interpret mode off-TPU.
+    default_layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
+    if layout is None:
+        layout = os.environ.get("DUALIP_BENCH_LAYOUT", default_layout)
+    carry_dtype = os.environ.get("DUALIP_BENCH_CARRY_DTYPE")  # e.g. bfloat16
+    tile_dtype = os.environ.get("DUALIP_BENCH_TILE_DTYPE")  # e.g. bfloat16
+    return MatchingSolverDualObjectiveFunction(
+        args,
+        gamma=1e-3,
+        keep_flat_idx=False,
+        use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
+        layout=layout,
+        keep_col_tiles=False,  # butterfly path never reads them; saves 12 B/nnz HBM
+        plan_cache_dir=os.environ.get(
+            "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
+        ),
+        carry_dtype=carry_dtype if layout == "butterfly" else None,
+        dtype=np.dtype(jnp.bfloat16) if tile_dtype == "bfloat16" else np.float32,
+        # Device-ready layout cache: a warm child stages the persisted panel
+        # tiles/row layout instead of rebuilding them (at canonical scale:
+        # 290-390 s -> IO-bound).  The key embeds the generator identity; the
+        # content is only written by CPU builds (tile_cache.py), so TPU
+        # children are load-only.
+        tile_cache_dir=os.environ.get(
+            "DUALIP_BENCH_TILE_CACHE", str(HERE / "benchmark_data" / "tile_cache")
+        ),
+        tile_cache_key=(
+            f"bench_{num_sources}x{num_dests}_{sparsity}_{seed}_"
+            f"{os.environ.get('DUALIP_GEN_BACKEND', 'numpy')}_{nnz}"
+        ),
+    )
+
+
 def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
     """Run one solve; print JSON info to stdout. Executed in a subprocess."""
     platform = os.environ.get("DUALIP_BENCH_PLATFORM")
@@ -61,9 +110,9 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
 
         jax.config.update("jax_platforms", platform)
 
+    import jax
     import jax.numpy as jnp
 
-    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
     from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
     from generate_synthetic_data import generate_synthetic_matching_input_args
 
@@ -81,32 +130,8 @@ def _solve_once(num_sources, num_dests, sparsity, max_iter, seed):
             for k, e in args.projection_map.items()
         }
 
-    import jax
-
-    # Default to the butterfly layout on TPU (measured ~38x the csc layout's
-    # iteration rate at this workload: no per-nnz gather/scatter, fused
-    # projection — docs/performance.md).  csc elsewhere: the butterfly path's
-    # Pallas kernels run in slow interpret mode off-TPU.
-    default_layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
     t0 = time.perf_counter()
-    layout = os.environ.get("DUALIP_BENCH_LAYOUT", default_layout)
-    carry_dtype = os.environ.get("DUALIP_BENCH_CARRY_DTYPE")  # e.g. bfloat16
-    tile_dtype = os.environ.get("DUALIP_BENCH_TILE_DTYPE")  # e.g. bfloat16
-    import numpy as np
-
-    obj = MatchingSolverDualObjectiveFunction(
-        args,
-        gamma=1e-3,
-        keep_flat_idx=False,
-        use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
-        layout=layout,
-        keep_col_tiles=False,  # butterfly path never reads them; saves 12 B/nnz HBM
-        plan_cache_dir=os.environ.get(
-            "DUALIP_BENCH_PLAN_CACHE", str(HERE / "benchmark_data" / "plan_cache")
-        ),
-        carry_dtype=carry_dtype if layout == "butterfly" else None,
-        dtype=np.dtype(jnp.bfloat16) if tile_dtype == "bfloat16" else np.float32,
-    )
+    obj = build_bench_objective(args, num_sources, num_dests, sparsity, seed)
     build_s = time.perf_counter() - t0
 
     solver = AcceleratedGradientDescent(

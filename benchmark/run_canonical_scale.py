@@ -70,6 +70,46 @@ def host_build() -> None:
     print(json.dumps(entry))
 
 
+def prime_tile_cache() -> None:
+    """CPU build that writes the device-ready layout cache (tile_cache.py)
+    under the exact key the TPU bench children look up — after this, a warm
+    child's build phase is pure IO (panel/row arrays mmap-loaded + one H2D
+    staging) instead of 290-390 s of tile fill + argsort + transposes."""
+    os.environ.setdefault("DUALIP_GEN_BACKEND", "native")
+    import subprocess
+
+    code = (
+        "import os, sys, time, json\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.path.insert(0, {str(HERE.parent)!r}); sys.path.insert(0, {str(HERE)!r})\n"
+        "import bench\n"
+        "from generate_synthetic_data import generate_synthetic_matching_input_args\n"
+        f"ns, nd, sp, seed = {NUM_SOURCES}, {NUM_DESTS}, {SPARSITY}, {SEED}\n"
+        "t0 = time.perf_counter()\n"
+        "args = generate_synthetic_matching_input_args(ns, nd, sp, seed=seed)\n"
+        "gen_s = time.perf_counter() - t0\n"
+        "t0 = time.perf_counter()\n"
+        "bench.build_bench_objective(args, ns, nd, sp, seed, layout='butterfly')\n"
+        "print(json.dumps({'gen_s': round(gen_s, 1),"
+        " 'build_and_save_s': round(time.perf_counter() - t0, 1)}))\n"
+    )
+    t0 = time.perf_counter()
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    line = next((l for l in out.stdout.splitlines() if l.startswith("{")), None)
+    if line is None:
+        print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("tile-cache prime failed")
+    entry = {
+        "phase": "prime_tile_cache",
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "num_sources": NUM_SOURCES,
+        **json.loads(line),
+    }
+    _append_result(entry)
+    print(json.dumps(entry))
+
+
 def tpu_run(n_small: int, n_big: int, child_timeout: int) -> None:
     os.environ.setdefault("DUALIP_GEN_BACKEND", "native")
     os.environ.setdefault("DUALIP_BENCH_CACHE", str(HERE.parent / "benchmark_data"))
@@ -121,6 +161,7 @@ def tpu_run(n_small: int, n_big: int, child_timeout: int) -> None:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--host-build", action="store_true")
+    ap.add_argument("--prime-tile-cache", action="store_true")
     ap.add_argument("--tpu-run", action="store_true")
     ap.add_argument("--iters-small", type=int, default=200)
     ap.add_argument("--iters-big", type=int, default=1000)
@@ -128,10 +169,12 @@ def main():
     args = ap.parse_args()
     if args.host_build:
         host_build()
+    if args.prime_tile_cache:
+        prime_tile_cache()
     if args.tpu_run:
         tpu_run(args.iters_small, args.iters_big, args.child_timeout)
-    if not (args.host_build or args.tpu_run):
-        ap.error("pass --host-build and/or --tpu-run")
+    if not (args.host_build or args.tpu_run or args.prime_tile_cache):
+        ap.error("pass --host-build, --prime-tile-cache and/or --tpu-run")
 
 
 if __name__ == "__main__":

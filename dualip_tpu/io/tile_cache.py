@@ -1,0 +1,187 @@
+"""Device-ready butterfly-layout cache.
+
+At canonical scale (~250M nnz) a warm solve process spent 290-390 s
+rebuilding the BlockCSC tiles and the row-major companion layout from the
+generator cache even though the Beneš plan was already disk-cached — the
+tile fill, the row argsort, and the panel transposes are all O(nnz) host
+work that produces EXACTLY the same arrays every time.  This module
+persists those arrays once, in the final device-ready form (panel-form a/c,
+row ids/lengths, row_pos, specs metadata), as plain ``.npy`` files that
+load back via ``np.load(mmap_mode="r")`` — a warm start then stages at
+disk/DMA speed with zero recompute.  (Reference analog: the
+cache-everything ingestion philosophy of
+``benchmark/generate_synthetic_data.py:202-343``.)
+
+Scope: the single-device ``layout="butterfly"`` configuration with
+``keep_col_tiles=False`` / ``keep_flat_idx=False`` (the canonical-scale
+benchmark shape).  The Beneš plan itself stays in its own cache
+(``plan_cache_dir``); ``meta.json`` records which plan file to load, so a
+cache hit never re-derives the permutation.
+
+Not pickle: every array is a raw ``.npy`` and the metadata is JSON, so a
+corrupted or adversarial cache cannot execute code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+CACHE_VERSION = 1
+
+
+def compute_cache_key(A, C, projection_map, pad: int, dtype, explicit: Optional[str]) -> str:
+    """Cache key for a (problem, layout-options) pair.
+
+    ``explicit`` (caller-supplied, e.g. the synthetic generator's cache key)
+    skips hashing the problem data — at 250M nnz the sha1 over rows+values
+    costs seconds per process.  Without it the key is a full content hash,
+    collision-safe for arbitrary inputs.
+    """
+    h = hashlib.sha1()
+    if explicit is not None:
+        h.update(explicit.encode())
+    else:
+        h.update(np.ascontiguousarray(A.indptr).tobytes())
+        h.update(np.ascontiguousarray(A.row_indices).tobytes())
+        h.update(np.ascontiguousarray(A.data).tobytes())
+        h.update(np.ascontiguousarray(C.data).tobytes())
+    pm = sorted(
+        (k, e.proj_type, tuple(sorted(dict(e.proj_params).items())), len(e.indices))
+        for k, e in projection_map.items()
+    )
+    h.update(repr((CACHE_VERSION, pm, pad, np.dtype(dtype).name, A.shape)).encode())
+    return h.hexdigest()[:20]
+
+
+def save_butterfly_state(cache_dir, key: str, bcsc, rl, plan_cache_file: str) -> None:
+    """Persist the device-ready butterfly state (see module docstring).
+
+    ``rl`` leaves may be jnp or numpy; they are pulled host-side here — call
+    on a CPU build (the canonical driver's host-build phase) so this is a
+    copy, not a device fetch.
+    """
+    d = Path(cache_dir) / f"butterfly_{key}"
+    tmp = d.with_name(d.name + ".tmp")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    meta = {
+        "version": CACHE_VERSION,
+        "m": bcsc.m,
+        "n": bcsc.n,
+        "nnz": bcsc.nnz,
+        "plan_cache_file": str(plan_cache_file),
+        "col_offsets": list(rl.col_offsets),
+        "row_shapes": [list(s) for s in rl.row_shapes],
+        "specs": [
+            {
+                "entry_key": s.entry_key,
+                "proj_type": s.proj_type,
+                "proj_params": [[k, v] for k, v in s.proj_params],
+                "K": s.K,
+                "L": s.L,
+            }
+            for s in bcsc.specs
+        ],
+    }
+    for i, pt in enumerate(rl.col_tiles_T):
+        np.save(tmp / f"panel{i}_a.npy", np.asarray(pt.a))
+        np.save(tmp / f"panel{i}_c.npy", np.asarray(pt.c))
+        np.save(tmp / f"panel{i}_len.npy", np.asarray(pt.length))
+    for i, rt in enumerate(rl.row_tiles):
+        np.save(tmp / f"rowtile{i}_ids.npy", np.asarray(rt.row_ids))
+        np.save(tmp / f"rowtile{i}_len.npy", np.asarray(rt.length))
+    np.save(tmp / "row_pos.npy", np.asarray(rl.row_pos))
+    (tmp / "meta.json").write_text(json.dumps(meta))
+    if d.exists():  # lost a race to another builder: keep theirs
+        import shutil
+
+        shutil.rmtree(tmp)
+        return
+    tmp.replace(d)  # atomic publish: no torn cache on interrupt
+
+
+def load_butterfly_state(cache_dir, key: str, use_tpu_kernel: bool):
+    """Load a cached butterfly state; returns (bcsc, row_layout) or None.
+
+    Arrays are read mmap-backed and converted with ``jnp.asarray`` exactly
+    once (one host→device staging — re-used across every launch; leaving
+    them as numpy would re-stage GBs on every jit dispatch).  The Beneš
+    plan is packed straight from its own cache's bit-planes
+    (``pack_plan_from_planes``), so the (S, N) unpacked masks are never
+    materialized.
+    """
+    d = Path(cache_dir) / f"butterfly_{key}"
+    meta_path = d / "meta.json"
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text())
+    if meta.get("version") != CACHE_VERSION:
+        return None
+    plan_file = Path(meta["plan_cache_file"])
+    if not plan_file.exists():
+        return None
+
+    from dualip_tpu.ops.butterfly import BenesPlan, pack_plan_from_planes
+    from dualip_tpu.sparse.bcsc import BlockCSC, TileSpec
+    from dualip_tpu.sparse.rowmajor import PanelTile, RowLayout, RowTile
+
+    pd = np.load(plan_file)
+    planes = np.asarray(pd["masks_packed"]).view(np.uint8)
+    dists_n = tuple(int(x) for x in pd["dists"])
+    n_in, n_out = int(pd["n_in"]), int(pd["n_out"])
+    if use_tpu_kernel:
+        plan = pack_plan_from_planes(planes, dists_n, n_in, n_out)
+    else:
+        masks = np.unpackbits(planes, axis=0, count=len(dists_n), bitorder="little")
+        plan = BenesPlan(dists=dists_n, masks=masks.astype(np.int8), n_in=n_in, n_out=n_out)
+
+    import jax.numpy as jnp
+
+    def _ld(name):
+        return jnp.asarray(np.load(d / name, mmap_mode="r"))
+
+    specs = [
+        TileSpec(
+            entry_key=s["entry_key"],
+            proj_type=s["proj_type"],
+            proj_params=tuple((k, v) for k, v in s["proj_params"]),
+            K=s["K"],
+            L=s["L"],
+        )
+        for s in meta["specs"]
+    ]
+    col_tiles_T = [
+        PanelTile(a=_ld(f"panel{i}_a.npy"), c=_ld(f"panel{i}_c.npy"), length=_ld(f"panel{i}_len.npy"))
+        for i in range(len(specs))
+    ]
+    row_shapes = tuple(tuple(s) for s in meta["row_shapes"])
+    row_tiles = [
+        RowTile(
+            a=None,
+            c=None,
+            row_ids=_ld(f"rowtile{i}_ids.npy"),
+            axidx=None,
+            length=_ld(f"rowtile{i}_len.npy"),
+        )
+        for i in range(len(row_shapes))
+    ]
+    rl = RowLayout(
+        row_tiles=row_tiles,
+        zidx=None,
+        row_pos=_ld("row_pos.npy"),
+        plan=plan,
+        col_tiles_T=col_tiles_T,
+        use_tpu_kernel=use_tpu_kernel,
+        col_offsets=tuple(meta["col_offsets"]),
+        row_shapes=row_shapes,
+    )
+    bcsc = BlockCSC(tiles=[], specs=specs, m=meta["m"], n=meta["n"], nnz=meta["nnz"])
+    return bcsc, rl

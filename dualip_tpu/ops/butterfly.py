@@ -221,11 +221,18 @@ DEFAULT_BLOCK_LOG2 = 17  # 128K f32 = 512 KB block in VMEM
 
 # Cap on the exchange-axis extent of one fused coarse pass: the kernel holds
 # an (E, wr, 128) block (+ masks, double-buffered) in VMEM, so E must stay
-# bounded as N grows.  Sides whose block count nb exceeds the cap split into
-# TWO contiguous stage groups (high distances, then low — order preserved),
-# each a butterfly along a bounded axis of a reshaped view; that covers
-# nb ≤ E_CAP² (N ≤ 2^33 at the default block size) in 2 passes/side.
+# bounded as N grows.  Sides whose block count nb exceeds the cap run as ONE
+# fused TWO-LEVEL pass (``_coarse2_kernel``): the (E_hi, E_lo, 128) strip
+# holds every block position of one 128-lane slice in VMEM (nb·128·w bytes —
+# ~2 MB fp32 at nb=4096), so ALL of the side's stages execute in a single
+# r+w HBM pass; high-distance stages roll the E_hi axis, low-distance the
+# E_lo axis.  Beyond FUSE_NB_CAP block positions the strip no longer fits
+# VMEM and the side falls back to the legacy two-group split (high group,
+# then low), covering nb ≤ E_CAP² (N ≤ 2^33 at the default block size).
 COARSE_E_CAP = 256
+# nb·128·4 B = 4 MB at 2^13 — the largest all-coarse strip worth keeping
+# resident next to its (double-buffered) masks in ~16 MB VMEM.
+COARSE_FUSE_NB_CAP = 8192
 
 
 @dataclass
@@ -349,17 +356,34 @@ def _pack_side(s0, s1, qs, planes, nb, R, e_cap):
     """Pack one side's coarse stages [s0, s1) into 1-2 contiguous groups.
 
     ``qs`` are the block distances (powers of two < nb) in forward execution
-    order.  When nb > e_cap the side splits at the q = e_lo boundary: stages
-    with q ≥ e_lo form the HIGH group (exchange axis E_hi = nb/e_lo, inner
-    I = e_lo·R rows), the rest the LOW group (E = e_lo, I = R).  Both sides'
-    stage sequences are distance-monotone, so the split is contiguous and
-    execution order is preserved.
+    order.  Three regimes by block count:
+
+    * ``nb ≤ e_cap``: one single-level group — exchange along the full block
+      axis E = nb of the (O, E, I_rows, 128) view.
+    * ``e_cap < nb ≤ COARSE_FUSE_NB_CAP``: one fused TWO-LEVEL group — the
+      (E_hi, E_lo, 128) strip holds every block position of one 128-lane
+      slice (nb·128·w bytes of VMEM), descriptor ``(steps, (E_hi, E_lo), R)``;
+      stages with q ≥ E_lo roll the E_hi axis by q/E_lo, the rest roll E_lo.
+      ALL of the side's stages run in one r+w HBM pass.
+    * beyond: legacy split at the q = e_lo boundary — stages with q ≥ e_lo
+      form the HIGH group (exchange axis E_hi = nb/e_lo, inner I = e_lo·R
+      rows), the rest the LOW group (E = e_lo, I = R).  Both sides' stage
+      sequences are distance-monotone, so the split is contiguous and
+      execution order is preserved.
     """
     if s1 <= s0:
         return (), ()
     if nb <= e_cap:
         steps = tuple((i, q) for i, q in enumerate(qs))
         return ((steps, nb, R),), (_shaped_group_mask(planes, s0, s1, nb, R),)
+    if nb <= COARSE_FUSE_NB_CAP:
+        e_lo = 1 << ((nb.bit_length() - 1 + 1) // 2)  # ~sqrt(nb), pow2
+        e_hi = nb // e_lo
+        steps = tuple((i, q) for i, q in enumerate(qs))
+        g = _extract_planes(planes, s0, s1)
+        P, N = g.shape
+        masks = jnp.asarray(g.reshape(P, N // (nb * R * 128), e_hi, e_lo, R * 128))
+        return ((steps, (e_hi, e_lo), R),), (masks,)
     n_lo = 1
     while n_lo * n_lo < nb:
         n_lo *= 2
@@ -539,6 +563,86 @@ def _coarse_kernel(steps, E, x_ref, m_ref, o_ref):
     o_ref[0] = x.astype(jnp.bfloat16) if narrow else x
 
 
+def _coarse2_kernel(steps, E_hi, E_lo, x_ref, m_ref, o_ref):
+    """All stages of one coarse side, fused over one (E_hi, E_lo, 128) strip.
+
+    The strip is one 128-lane slice of the (O2, E_hi, E_lo, R·128) view: the
+    block index of a flat slot is ``e_hi·E_lo + e_lo`` (O2 = 1 when the strip
+    covers all block positions), so a stage with block distance ``q`` is a
+    pure exchange along E_lo (q < E_lo) or along E_hi by q/E_lo.  Holding
+    EVERY block position of the slice in VMEM (nb·128·w bytes) lets the whole
+    side — previously two strided passes — run in a single r+w HBM pass.
+    DMA efficiency note: the (8, 128) tiled layout of the last two view dims
+    means each strip gathers whole 4 KB tiles, not 512 B rows."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[0]
+    narrow = x.dtype == jnp.bfloat16  # see _fine_kernel: widen once per strip
+    if narrow:
+        x = x.astype(jnp.float32)
+    C = x.shape[2]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (E_hi, E_lo, C), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (E_hi, E_lo, C), 1)
+    cur_plane, mi = -1, None
+    for s, q in steps:
+        if s >> 3 != cur_plane:  # widen each uint8 bit-plane once, not per stage
+            cur_plane = s >> 3
+            mi = m_ref[cur_plane, 0].astype(jnp.int32)
+        m = (mi & (1 << (s & 7))) != 0
+        if q >= E_lo:
+            qh = q // E_lo
+            bit = (iota_h & qh) != 0
+            fwd = pltpu.roll(x, E_hi - qh, 0)
+            bwd = pltpu.roll(x, qh, 0)
+        else:
+            bit = (iota_l & q) != 0
+            fwd = pltpu.roll(x, E_lo - q, 1)
+            bwd = pltpu.roll(x, q, 1)
+        x = jnp.where(m, jnp.where(bit, bwd, fwd), x)
+    o_ref[0] = x.astype(jnp.bfloat16) if narrow else x
+
+
+def _apply_coarse_group2(v, masks, steps, E_hi, E_lo, R, interpret):
+    """Run one fused two-level coarse pass: ``v`` flat (N,), ``masks``
+    (P, O2, E_hi, E_lo, R·128) uint8 bit-planes (pre-shaped at pack time).
+    The strip block (1, E_hi, E_lo, 128) holds every block position of one
+    lane slice, so all of the side's stages execute in this single pass;
+    the carry block is donated (same-index in/out blocks) so the pass runs
+    in place."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = masks.shape[0]
+    C = 128
+    N = v.shape[0]
+    O2 = N // (E_hi * E_lo * R * C)
+    grid = (O2, R)
+    kernel = functools.partial(_coarse2_kernel, steps, E_hi, E_lo)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, E_hi, E_lo, C), lambda o, r: (o, 0, 0, r), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (P, 1, E_hi, E_lo, C),
+                lambda o, r: (0, o, 0, 0, r),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, E_hi, E_lo, C), lambda o, r: (o, 0, 0, r), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((O2, E_hi, E_lo, R * C), v.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(v.reshape(O2, E_hi, E_lo, R * C), masks)
+    return out.reshape(-1)
+
+
 def _apply_coarse_group(v, masks, steps, E, I_rows, interpret):
     """Run one fused coarse-group pass: ``v`` flat (N,), ``masks``
     (P, O, E, I_rows, 128) uint8 bit-planes (pre-shaped at pack time),
@@ -588,9 +692,10 @@ def apply_butterfly_tpu(
 ) -> Array:
     """Blocked application: fine stages in one Pallas kernel per block,
     coarse (cross-block) stages in one fused Pallas pass per GROUP (one
-    group per side while nb ≤ COARSE_E_CAP; two beyond that) — 3 HBM passes
-    total up to N ≈ 2^25 at the default block size, 5 up to N ≈ 2^33, with
-    VMEM bounded independently of N.
+    group per side while nb ≤ COARSE_FUSE_NB_CAP — single-level up to
+    COARSE_E_CAP, two-level fused beyond; two groups past the fuse cap) —
+    3 HBM passes total up to N ≈ 2^30 at the default block size, 5 up to
+    N ≈ 2^33, with VMEM bounded independently of N.
 
     Prefer passing a ``BenesPlanPacked`` (``pack_plan``) — packing inside a
     compiled iteration loop costs a materialized copy of the (100 MB-scale)
@@ -617,7 +722,10 @@ def apply_butterfly_tpu(
         )
 
     for (steps, E, I_rows), m in pre:
-        v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
+        if isinstance(E, tuple):  # fused two-level side (see _pack_side)
+            v = _apply_coarse_group2(v, m, steps, E[0], E[1], I_rows, interpret)
+        else:
+            v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
 
     # --- fine stages: Pallas, grid over blocks -----------------------------
     S_f, nb, R, C = plan.fine_masks.shape
@@ -637,7 +745,10 @@ def apply_butterfly_tpu(
     )(v.reshape(nb, R, C), plan.fine_masks).reshape(-1)
 
     for (steps, E, I_rows), m in post:
-        v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
+        if isinstance(E, tuple):  # fused two-level side (see _pack_side)
+            v = _apply_coarse_group2(v, m, steps, E[0], E[1], I_rows, interpret)
+        else:
+            v = _apply_coarse_group(v, m, steps, E, I_rows, interpret)
 
     if not truncate:
         return v

@@ -46,7 +46,7 @@ class Tile(NamedTuple):
     All members are arrays (a JAX pytree); static metadata lives in TileSpec.
     """
 
-    rows: Array  # (K, L) int32 — constraint-row index of each nonzero (0 on padding)
+    rows: Array  # (K, L) uint16 (m ≤ 65535) | int32 — constraint-row index (0 on padding)
     a: Array  # (K, L) — A values (0 on padding)
     c: Array  # (K, L) — c values (0 on padding)
     length: Array  # (K,) int32 — valid nnz per column (0 for padding columns)
@@ -125,6 +125,10 @@ def _build_tile(
     K_valid = len(cols)
     K = -(-K_valid // pad_cols_to) * pad_cols_to
     L = int(lens.max())
+    # Row ids fit uint16 whenever m ≤ 65535 (the canonical benchmark's
+    # m = 10^4 qualifies): −2 B/nnz-slot on every tile read of the csc /
+    # pallas hot paths and on host/HBM residency (VERDICT r2 #4).
+    rows_dtype = np.uint16 if A.shape[0] <= np.iinfo(np.uint16).max else np.int32
 
     # Native parallel fill when the C++ data-plane is available (identical
     # output to the numpy path below; see native/dualip_native.cc).
@@ -145,7 +149,13 @@ def _build_tile(
                 flat_idx=flat_idx,
             )
             return (
-                Tile(rows=rows, a=a.astype(dtype), c=c.astype(dtype), length=length, col_ids=col_ids),
+                Tile(
+                    rows=rows.astype(rows_dtype, copy=False),
+                    a=a.astype(dtype),
+                    c=c.astype(dtype),
+                    length=length,
+                    col_ids=col_ids,
+                ),
                 spec,
             )
 
@@ -156,7 +166,7 @@ def _build_tile(
     idx_in_col = np.arange(total) - prefix[cols_rep]
     flat = starts[cols_rep] + idx_in_col
 
-    rows = np.zeros((K, L), dtype=np.int32)
+    rows = np.zeros((K, L), dtype=rows_dtype)
     a = np.zeros((K, L), dtype=dtype)
     c = np.zeros((K, L), dtype=dtype)
     rows[cols_rep, idx_in_col] = A.row_indices[flat]

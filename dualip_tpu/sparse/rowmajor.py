@@ -415,7 +415,7 @@ def build_row_layout(
                     length=jnp.asarray(np.asarray(t.length).reshape(K // 128, 1, 128)),
                 )
             )
-        return RowLayout(
+        out = RowLayout(
             row_tiles=row_tiles,
             zidx=None,
             row_pos=jnp.asarray(row_pos),
@@ -425,6 +425,11 @@ def build_row_layout(
             col_offsets=tuple(col_offsets),
             row_shapes=tuple(row_shapes),
         )
+        # Non-pytree breadcrumb for the device-ready layout cache
+        # (dualip_tpu/io/tile_cache.py): which plan-cache file this layout's
+        # Beneš routing lives in (None when plan caching is off).
+        out.plan_cache_path = str(cache_path) if cache_path is not None else None
+        return out
 
     # --- gather mode: column-tile zidx (where each column slot's z lives) --
     zidx: List[Array] = []

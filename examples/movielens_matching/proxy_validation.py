@@ -71,9 +71,25 @@ INITIAL_STEP = 1e-8
 MAX_STEP = 1e-6
 CAPACITY = 30.0
 # Fairness demo (reference docs/demo/matching_complex.rst): two groups of
-# movie rows whose total exposure difference is bounded by 0.
-FAIR_A = list(range(0, 50))
-FAIR_B = list(range(50, 100))
+# movie rows whose MEAN a-weighted exposure difference is bounded by 0.
+# Groups are chosen by observed row degree — the 50 most-rated movies vs the
+# 50 least-rated — so the constraint is strongly violated at the
+# unconstrained optimum (head movies saturate their capacity, tail movies
+# get almost nothing) and the fairness duals are strictly positive at the
+# solution, mirroring the reference demo where fairness moves the ml-20m
+# objective from -628k to -275k.  (Round 2's fixed index groups 0-49/50-99
+# had near-equal exposures, leaving the fairness rows unstressed.)
+N_FAIR = 50
+
+
+def fairness_groups(A):
+    """(most-rated 50 rows, least-rated 50 rows) by nnz count — deterministic
+    given the proxy ratings, maximally exposure-imbalanced."""
+    deg = np.bincount(A.row_indices.astype(np.int64), minlength=A.shape[0])
+    order = np.argsort(deg, kind="stable")
+    group_a = [int(r) for r in order[-N_FAIR:][::-1]]
+    group_b = [int(r) for r in order[:N_FAIR]]
+    return group_a, group_b
 
 
 def _proxy_paths(fairness: bool):
@@ -125,7 +141,8 @@ def build_lp(fairness: bool):
     cfg = MovielensMatchingConfig(ratings_csv_path="", per_movie_capacity=CAPACITY)
     input_args, user_map, row_map = prepare_movielens_matching(cfg, ratings=ratings)
     if fairness:
-        input_args = make_fairness_input_args(input_args, FAIR_A, FAIR_B, tolerance=0.0)
+        fair_a, fair_b = fairness_groups(input_args.A)
+        input_args = make_fairness_input_args(input_args, fair_a, fair_b, tolerance=0.0)
     return input_args
 
 
@@ -219,7 +236,8 @@ def run_reference(fairness: bool, max_iter: int) -> None:
     )
     obj = ref.matching.MatchingSolverDualObjectiveFunction(t_args, gamma=GAMMA)
     if fairness:
-        f_vals = torch.from_numpy(build_fairness_values(A, FAIR_A, FAIR_B))
+        fair_a, fair_b = fairness_groups(A)
+        f_vals = torch.from_numpy(build_fairness_values(A, fair_a, fair_b))
         obj = _RefFairnessOracle(ref, obj, f_vals, b_full)
         m = m + 2  # dual dimension
 

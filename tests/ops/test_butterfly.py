@@ -122,20 +122,43 @@ def test_random_shape_soak():
 
 
 @pytest.mark.parametrize("n,block_log2", [(1 << 16, 7), (90_000, 8)])
-def test_two_level_coarse_groups(n, block_log2):
-    """nb > COARSE_E_CAP forces the hierarchical (two-group-per-side) coarse
-    path — the VMEM-bounded form every N > 2^25 uses at the default block
-    size (here forced with a tiny block so CPU interpret mode stays fast)."""
+def test_fused_two_level_coarse_pass(n, block_log2):
+    """COARSE_E_CAP < nb ≤ COARSE_FUSE_NB_CAP runs each coarse side as ONE
+    fused two-level pass (the (E_hi, E_lo, 128) strip form the canonical
+    N=2^29 shape uses at the default block size — forced here with a tiny
+    block so CPU interpret mode stays fast)."""
     from dualip_tpu.ops.butterfly import pack_plan
 
     rng = np.random.default_rng(5)
     perm = rng.permutation(n)
     plan = benes_route(perm)
     packed = pack_plan(plan, block_log2=block_log2)
-    # both sides must have split into two groups (nb = N/2^bl > 256)
+    # each side must be ONE fused two-level group (nb = N/2^bl > 256)
+    assert len(packed.pre_groups) == 1 and len(packed.post_groups) == 1
+    for (steps, E, I_rows), m in zip(packed.pre_groups, packed.pre_masks):
+        assert isinstance(E, tuple) and E[0] * E[1] > 256
+        assert m.shape[0] == (len(steps) + 7) // 8
+    x = rng.normal(size=n).astype(np.float32)
+    y = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(y[: plan.n_out], x[perm])
+    back = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(y), reverse=True, interpret=True))
+    np.testing.assert_array_equal(back[:n], x)
+
+
+@pytest.mark.parametrize("n,block_log2", [(1 << 16, 7)])
+def test_legacy_two_group_split_beyond_fuse_cap(n, block_log2, monkeypatch):
+    """nb > COARSE_FUSE_NB_CAP falls back to the two-group-per-side split
+    (the N > ~2^30 regime, forced here by shrinking the cap)."""
+    import dualip_tpu.ops.butterfly as bf
+
+    monkeypatch.setattr(bf, "COARSE_FUSE_NB_CAP", 64)
+    rng = np.random.default_rng(6)
+    perm = rng.permutation(n)
+    plan = benes_route(perm)
+    packed = bf.pack_plan(plan, block_log2=block_log2)
     assert len(packed.pre_groups) == 2 and len(packed.post_groups) == 2
     for (steps, E, I_rows), m in zip(packed.pre_groups, packed.pre_masks):
-        assert E <= 256 and m.shape[0] == (len(steps) + 7) // 8
+        assert not isinstance(E, tuple) and E <= 256
     x = rng.normal(size=n).astype(np.float32)
     y = np.asarray(apply_butterfly_tpu(packed, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y[: plan.n_out], x[perm])

@@ -90,7 +90,12 @@ def load_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_int,
             ]
-            if lib.dualip_native_abi_version() != 3:
+            lib.dualip_benes_route_packed.restype = None
+            lib.dualip_benes_route_packed.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            if lib.dualip_native_abi_version() != 4:
                 return None
         except AttributeError as e:  # incompatible / truncated .so
             print(f"dualip native library rejected: {e}")
@@ -200,3 +205,22 @@ def benes_route_native(
     masks = np.empty((2 * n - 1, N), dtype=np.int8)
     lib.dualip_benes_route(N, _ptr(src), _ptr(masks), threads, block_log2)
     return masks
+
+
+def benes_route_packed_native(
+    src: np.ndarray, threads: int = 0, block_log2: int = 0
+) -> Optional[np.ndarray]:
+    """(ceil((2n-1)/8), N) uint8 stage bit-planes for the completed bijection
+    ``src`` — bit-for-bit ``_packbits_stages(benes_route_native(src))`` without
+    ever materializing the (2n-1, N) int8 masks (30.6 GB of transient RSS at
+    the canonical N=2^29; the planes are 8x smaller and are exactly the
+    plan-cache / TPU-kernel currency)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    N = int(src.size)
+    n = N.bit_length() - 1
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    planes = np.zeros(((2 * n - 1 + 7) // 8, N), dtype=np.uint8)
+    lib.dualip_benes_route_packed(N, _ptr(src), _ptr(planes), threads, block_log2)
+    return planes

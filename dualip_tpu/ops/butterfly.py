@@ -84,17 +84,8 @@ def _components_min(h: np.ndarray, max_cycle_log2: int | None = None) -> np.ndar
     return rep
 
 
-def benes_route(
-    perm: np.ndarray, pad_to: int | None = None, n_in: int | None = None
-) -> BenesPlan:
-    """Route ``y = x_padded[perm]`` through a Beneš network.
-
-    ``perm`` maps output position → input position and must be injective;
-    inputs/outputs are zero-padded to the next power of two (spare slots are
-    routed as an arbitrary bijection completion, carrying zeros).  ``n_in``
-    pins the valid input length (default: ``perm.max() + 1``) — it sets the
-    truncation of ``reverse=True`` outputs.
-    """
+def _route_shape(perm: np.ndarray, pad_to, n_in):
+    """Normalize (perm, n_out, n_in, N, n) for the routers."""
     perm = np.asarray(perm, dtype=np.int64)
     n_out = perm.size
     if n_in is None:
@@ -106,14 +97,16 @@ def benes_route(
         N = pad_to
         if N & (N - 1):
             raise ValueError("pad_to must be a power of two")
-    n = N.bit_length() - 1
+    return perm, n_out, n_in, N, N.bit_length() - 1
 
-    # Complete to a bijection on N slots (spares carry zeros either way).
-    # Identity-preferring: a padding output slot whose same-numbered input is
-    # also unused maps to itself, making it a FIXED POINT of every routing
-    # stage — the cycle-walking router short-circuits fixed points, so the
-    # pow2 tail [n_out, N) (up to ~2x the real payload) routes in O(1)/slot
-    # instead of joining the miss-bound orbit chases.
+
+def _complete_bijection(perm: np.ndarray, n_out: int, N: int) -> np.ndarray:
+    """Complete an injective perm to a bijection on N slots (spares carry
+    zeros either way).  Identity-preferring: a padding output slot whose
+    same-numbered input is also unused maps to itself, making it a FIXED
+    POINT of every routing stage — the cycle-walking router short-circuits
+    fixed points, so the pow2 tail [n_out, N) (up to ~2x the real payload)
+    routes in O(1)/slot instead of joining the miss-bound orbit chases."""
     src = np.full(N, -1, dtype=np.int32)
     src[:n_out] = perm
     used = np.zeros(N, dtype=bool)
@@ -123,6 +116,49 @@ def benes_route(
     src[tail[fix]] = tail[fix]
     used[tail[fix]] = True
     src[tail[~fix]] = np.nonzero(~used)[0]
+    return src
+
+
+def _benes_dists(n: int) -> tuple:
+    return tuple(1 << b for b in range(n - 1, 0, -1)) + (1,) + tuple(
+        1 << b for b in range(1, n)
+    )
+
+
+def benes_route_planes(
+    perm: np.ndarray, pad_to: int | None = None, n_in: int | None = None
+):
+    """Route ``perm`` and return ``(planes, dists, n_in, n_out)`` with the
+    stage masks already bit-packed 8 stages/byte — the plan-cache / TPU
+    currency — WITHOUT materializing the (2n-1, N) int8 masks when the
+    native packed router is available (30.6 GB of transient RSS at the
+    canonical N=2^29; the planes are 8x smaller).  Bit-for-bit equal to
+    ``_packbits_stages(benes_route(...).masks)``."""
+    perm, n_out, n_in, N, n = _route_shape(perm, pad_to, n_in)
+    if N >= (1 << 14):
+        from dualip_tpu.io.native_loader import benes_route_packed_native
+
+        src = _complete_bijection(perm, n_out, N)
+        planes = benes_route_packed_native(src)
+        if planes is not None:
+            return planes, _benes_dists(n), n_in, n_out
+    plan = benes_route(perm, pad_to=pad_to, n_in=n_in)
+    return _packbits_stages(np.asarray(plan.masks)), plan.dists, plan.n_in, plan.n_out
+
+
+def benes_route(
+    perm: np.ndarray, pad_to: int | None = None, n_in: int | None = None
+) -> BenesPlan:
+    """Route ``y = x_padded[perm]`` through a Beneš network.
+
+    ``perm`` maps output position → input position and must be injective;
+    inputs/outputs are zero-padded to the next power of two (spare slots are
+    routed as an arbitrary bijection completion, carrying zeros).  ``n_in``
+    pins the valid input length (default: ``perm.max() + 1``) — it sets the
+    truncation of ``reverse=True`` outputs.
+    """
+    perm, n_out, n_in, N, n = _route_shape(perm, pad_to, n_in)
+    src = _complete_bijection(perm, n_out, N)
 
     n_stages = 2 * n - 1
 

@@ -321,8 +321,6 @@ def build_row_layout(
     zpos_all[order] = zpos_sorted
 
     if method == "butterfly":
-        from dualip_tpu.ops.butterfly import benes_route
-
         # col_total = Σ K·L2 over column tiles (panel regions, see PanelTile)
         row_total = zoff  # = Σ R·Lr over row tiles
         if _forced is not None:
@@ -366,14 +364,13 @@ def build_row_layout(
                     int(d["n_out"]),
                 )
         if packed is None:
-            routed = benes_route(perm, pad_to=N, n_in=row_total)
-            from dualip_tpu.ops.butterfly import _packbits_stages
+            # Packed-native routing: the stage masks are written straight
+            # into bit-planes (8 stages/byte) — the (2n-1, N) int8 form
+            # (30.6 GB of transient RSS at the canonical N=2^29) is never
+            # materialized (ops/butterfly.py::benes_route_planes).
+            from dualip_tpu.ops.butterfly import benes_route_planes
 
-            masks_np = np.asarray(routed.masks)
-            packed = (_packbits_stages(masks_np), routed.dists, routed.n_in, routed.n_out)
-            if not use_tpu_kernel:
-                plan = routed  # CPU path consumes the unpacked form directly
-            del routed, masks_np
+            packed = benes_route_planes(perm, pad_to=N, n_in=row_total)
             if cache_path is not None:
                 cache_path.parent.mkdir(parents=True, exist_ok=True)
                 tmp = cache_path.with_suffix(".tmp.npz")

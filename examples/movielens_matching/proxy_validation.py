@@ -276,10 +276,14 @@ def run_reference(fairness: bool, max_iter: int) -> None:
     res = solver.maximize(obj, torch.zeros(m))
     wall = time.perf_counter() - t0
     final = float(res.dual_objective)
+    extra = {}
+    if fairness:  # the two fairness duals — must be strictly positive (binding)
+        extra["fair_duals"] = res.dual_val[-2:].numpy()
+        log_f.write(f"Fairness duals: {extra['fair_duals'].tolist()}\n")
     log_f.write(f"Dual objective: {final}\n")
     log_f.write(f"A shape: ({m}, {n}) nnz: {A.nnz} wall: {wall:.0f}s\n")
     log_f.close()
-    np.savez(p["ref_trace"], dual_objective=trace, iters=max_iter, wall_s=wall, final=final)
+    np.savez(p["ref_trace"], dual_objective=trace, iters=max_iter, wall_s=wall, final=final, **extra)
     print(f"[ref] done: dual={final} wall={wall:.0f}s -> {p['ref_log']}")
 
 
@@ -338,6 +342,11 @@ def run_ours(fairness: bool, max_iter: int) -> None:
             f"A shape: {input_args.A.shape} nnz: {input_args.A.nnz} "
             f"layout: {layout} build: {build_s:.0f}s solve: {solve_s:.0f}s\n"
         )
+    extra = {}
+    if fairness:  # the two fairness duals — must be strictly positive (binding)
+        extra["fair_duals"] = np.asarray(res.dual_val)[-2:]
+        with open(p["ours_log"], "a") as f:
+            f.write(f"Fairness duals: {extra['fair_duals'].tolist()}\n")
     np.savez(
         p["ours_trace"],
         dual_objective=trace,
@@ -345,6 +354,7 @@ def run_ours(fairness: bool, max_iter: int) -> None:
         wall_s=solve_s,
         final=res.dual_objective,
         layout=layout,
+        **extra,
     )
     print(
         f"[ours] done: dual={res.dual_objective} layout={layout} "
@@ -354,10 +364,15 @@ def run_ours(fairness: bool, max_iter: int) -> None:
 
 def compare(fairness: bool) -> int:
     p = _proxy_paths(fairness)
+    fair_ref = fair_ours = None
     with np.load(p["ref_trace"]) as d:
         ref_trace, ref_final = d["dual_objective"], float(d["final"])
+        if fairness and "fair_duals" in d:
+            fair_ref = [float(x) for x in d["fair_duals"]]
     with np.load(p["ours_trace"]) as d:
         our_trace, our_final = d["dual_objective"], float(d["final"])
+        if fairness and "fair_duals" in d:
+            fair_ours = [float(x) for x in d["fair_duals"]]
     n = min(len(ref_trace), len(our_trace))
     ref_trace, our_trace = ref_trace[:n], our_trace[:n]
 
@@ -382,9 +397,19 @@ def compare(fairness: bool) -> int:
         "pass_final_1e-6": bool(final_rel < 1e-6),
         "pass_tail_2e-4": bool(tail.max() < 2e-4),
     }
+    if fairness:
+        summary["fairness_duals_ref"] = fair_ref
+        summary["fairness_duals_ours"] = fair_ours
+        # binding posing (degree-imbalanced groups): the A-side dual must be
+        # strictly positive at the solution
+        summary["fairness_dual_nonzero"] = bool(
+            fair_ours is not None and max(fair_ours) > 0
+        )
     p["summary"].write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
     ok = summary["pass_final_1e-6"] and summary["pass_tail_2e-4"]
+    if fairness:
+        ok = ok and summary["fairness_dual_nonzero"]
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

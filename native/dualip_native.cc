@@ -335,6 +335,36 @@ struct StageScratch {
 
 }  // namespace benes
 
+}  // extern "C"
+
+namespace {
+
+// Mask output policies for the router.  The int8 sink writes the classic
+// (2n-1, N) dense masks; the packed sink ORs bits straight into
+// (ceil(S/8), N) uint8 bit-planes (stage s -> bit s&7 of plane s>>3, the
+// exact _packbits_stages/plan-cache format) — at the canonical N=2^29 the
+// dense form is 30.6 GB of transient RSS that the packed form never
+// allocates.  Race-freedom of the packed |= without atomics: within one
+// coarse stage the entry writes hit unique bytes (j = src[i] is a
+// bijection) and the exit writes hit unique bytes (i); entry row t and
+// exit row S-1-t live in DIFFERENT planes whenever S-1-2t >= 8, which
+// holds for every coarse stage at block_log2 >= 4 (fine-phase writes are
+// single-threaded per block and block byte ranges never overlap).
+struct MaskSink8 {
+  int8_t* out;
+  int64_t N;
+  inline void set(int64_t stage, int64_t i, int v) const {
+    out[stage * N + i] = static_cast<int8_t>(v);
+  }
+};
+struct MaskSinkPacked {
+  uint8_t* out;  // (ceil(S/8), N), caller-zeroed
+  int64_t N;
+  inline void set(int64_t stage, int64_t i, int v) const {
+    if (v) out[(stage >> 3) * N + i] |= static_cast<uint8_t>(1u << (stage & 7));
+  }
+};
+
 // Routes a bijection src0 on N = 2^n slots through a 2n-1 stage Benes
 // network (same looping-argument construction, bit-for-bit, as the numpy
 // router in dualip_tpu/ops/butterfly.py::benes_route — cited there).  The
@@ -363,11 +393,13 @@ struct StageScratch {
 // identity-preferring completion) short-circuit in O(1) everywhere.
 //
 // src0: input slot feeding each output slot (caller completes the bijection
-// and zero-pads, exactly as the numpy router does).  masks_out: (2n-1, N)
-// int8, caller-allocated.  block_log2: fine-phase block size (working set
-// ~17 B/slot must fit the per-thread share of LLC; <=0 picks the default).
-void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
-                        int threads, int block_log2) {
+// and zero-pads, exactly as the numpy router does).  sink: mask output
+// policy (MaskSink8 / MaskSinkPacked above).  block_log2: fine-phase block
+// size (working set ~17 B/slot must fit the per-thread share of LLC; <=0
+// picks the default).
+template <class Sink>
+void benes_route_impl(int64_t N, const int32_t* src0, Sink sink,
+                      int threads, int block_log2) {
   int n = 0;
   while ((int64_t(1) << n) < N) ++n;
   int64_t n_stages = 2 * n - 1;
@@ -494,14 +526,12 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
       }
     }, threads);
 
-    int8_t* m_entry = masks_out + int64_t(t) * N;
-    int8_t* m_exit = masks_out + (n_stages - 1 - t) * N;
     parallel_for(N, [&](int64_t lo, int64_t hi) {
       for (int64_t i = lo; i < hi; ++i) {
         int32_t j = src[i];
         int32_t color = tag[i].load(std::memory_order_relaxed) & 1;
-        m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color);
-        m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color);
+        sink.set(t, j, ((j >> b) & 1) != color);
+        sink.set(n_stages - 1 - t, i, ((i >> b) & 1) != color);
         int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color << b);
         int32_t j2 = (j & ~D) | (color << b);
         new_src[i2] = j2;
@@ -569,13 +599,11 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
               ss.tag[v ^ D] = tw;
             }
           }
-          int8_t* m_entry = masks_out + int64_t(tt) * N + base;
-          int8_t* m_exit = masks_out + (n_stages - 1 - tt) * N + base;
           for (int64_t i = 0; i < B; ++i) {
             int32_t j = sb[i] - static_cast<int32_t>(base);
             int32_t color = ss.tag[i] & 1;
-            m_entry[j] = static_cast<int8_t>(((j >> b) & 1) != color);
-            m_exit[i] = static_cast<int8_t>(((i >> b) & 1) != color);
+            sink.set(tt, base + j, ((j >> b) & 1) != color);
+            sink.set(n_stages - 1 - tt, base + i, ((i >> b) & 1) != color);
             int32_t i2 = (static_cast<int32_t>(i) & ~D) | (color << b);
             int32_t j2 = (j & ~D) | (color << b);
             ss.inv[i2] = j2 + static_cast<int32_t>(base);  // reuse inv as new_src
@@ -584,9 +612,8 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
           ss.epoch = epoch;
         }
         // middle stage (distance 1): remaining disagreement is a pair swap
-        int8_t* m_mid = masks_out + int64_t(n - 1) * N + base;
         for (int64_t i = 0; i < B; ++i)
-          m_mid[i] = static_cast<int8_t>(sb[i] != static_cast<int32_t>(base + i));
+          sink.set(n - 1, base + i, sb[i] != static_cast<int32_t>(base + i));
       }
       // min_n=2: each index is a whole cache block carrying every remaining
       // stage's work, so parallelize even when n_blocks < the per-element
@@ -595,6 +622,30 @@ void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
   }
 }
 
-int dualip_native_abi_version() { return 3; }
+}  // namespace
+
+extern "C" {
+
+// Classic dense-mask entry point: masks_out is (2n-1, N) int8.
+void dualip_benes_route(int64_t N, const int32_t* src0, int8_t* masks_out,
+                        int threads, int block_log2) {
+  benes_route_impl(N, src0, MaskSink8{masks_out, N}, threads, block_log2);
+}
+
+// Packed entry point: planes_out is (ceil((2n-1)/8), N) uint8 bit-planes,
+// caller-ZEROED (bits are only ever set).  Same masks bit-for-bit as the
+// dense form after _packbits_stages; never materializes the (2n-1, N)
+// array (30.6 GB at the canonical N=2^29).  block_log2 is clamped to >= 4:
+// the no-atomics |= writes rely on every coarse stage's entry/exit rows
+// living in different planes (see MaskSinkPacked).
+void dualip_benes_route_packed(int64_t N, const int32_t* src0,
+                               uint8_t* planes_out, int threads,
+                               int block_log2) {
+  if (block_log2 <= 0) block_log2 = 16;
+  if (block_log2 < 4) block_log2 = 4;
+  benes_route_impl(N, src0, MaskSinkPacked{planes_out, N}, threads, block_log2);
+}
+
+int dualip_native_abi_version() { return 4; }
 
 }  // extern "C"

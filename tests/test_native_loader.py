@@ -117,6 +117,24 @@ def test_native_benes_router_matches_numpy():
     np.testing.assert_array_equal(np.asarray(p_nat.masks), np.asarray(p_np.masks))
 
 
+def test_native_packed_router_matches_dense_packbits():
+    """The packed-planes router (no (2n-1, N) int8 materialization — the
+    30.6 GB RSS peak at canonical scale) emits bit-for-bit
+    ``_packbits_stages(dense masks)``, including at a block_log2 that forces
+    many coarse stages (the no-atomics |= relies on entry/exit rows of every
+    coarse stage living in different planes — see MaskSinkPacked)."""
+    import dualip_tpu.io.native_loader as nl
+    from dualip_tpu.ops.butterfly import _packbits_stages
+
+    rng = np.random.default_rng(21)
+    N = 1 << 15
+    src = rng.permutation(N).astype(np.int32)
+    for blk in (0, 4, 8, 13):
+        dense = nl.benes_route_native(src, block_log2=blk)
+        planes = nl.benes_route_packed_native(src, block_log2=blk)
+        np.testing.assert_array_equal(planes, _packbits_stages(dense))
+
+
 def test_native_benes_router_coarse_phase_matches_numpy():
     """The coarse full-N phase (K=16 cycle-cut chains + h^16 jump tables)
     and the coarse→fine handoff produce the same masks as the numpy router.

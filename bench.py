@@ -75,6 +75,9 @@ def build_bench_objective(args, num_sources, num_dests, sparsity, seed, layout=N
         layout = os.environ.get("DUALIP_BENCH_LAYOUT", default_layout)
     carry_dtype = os.environ.get("DUALIP_BENCH_CARRY_DTYPE")  # e.g. bfloat16
     tile_dtype = os.environ.get("DUALIP_BENCH_TILE_DTYPE")  # e.g. bfloat16
+    # Compact packing (halved-N carry buffer at canonical scale): opt-in —
+    # it regroups summations, so the fp32 default stays golden-traced.
+    compact = os.environ.get("DUALIP_BENCH_COMPACT") == "1" and layout == "butterfly"
     return MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
@@ -99,6 +102,7 @@ def build_bench_objective(args, num_sources, num_dests, sparsity, seed, layout=N
             f"bench_{num_sources}x{num_dests}_{sparsity}_{seed}_"
             f"{os.environ.get('DUALIP_GEN_BACKEND', 'numpy')}_{nnz}"
         ),
+        compact=compact,
     )
 
 

@@ -25,26 +25,25 @@ def main():
     carry_dtype = sys.argv[2] if len(sys.argv) > 2 else None  # e.g. bfloat16
     tile_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
     from generate_synthetic_data import generate_synthetic_matching_input_args
 
-    import numpy as np
-
+    if carry_dtype:
+        os.environ["DUALIP_BENCH_CARRY_DTYPE"] = carry_dtype
+    if tile_dtype == "bfloat16":
+        os.environ["DUALIP_BENCH_TILE_DTYPE"] = "bfloat16"
     args = generate_synthetic_matching_input_args(num_sources, 10_000, 1e-3, seed=42)
     print(f"nnz={args.A.nnz} carry_dtype={carry_dtype} tile_dtype={tile_dtype}")
-    obj = MatchingSolverDualObjectiveFunction(
-        args,
-        gamma=1e-3,
-        keep_flat_idx=False,
-        layout="butterfly" if jax.default_backend() == "tpu" else "csc",
-        keep_col_tiles=False,
-        plan_cache_dir=str(Path(__file__).parent.parent / "benchmark_data" / "plan_cache"),
-        carry_dtype=carry_dtype if jax.default_backend() == "tpu" else None,
-        dtype=np.dtype(jnp.bfloat16) if tile_dtype == "bfloat16" else np.float32,
-    )
+    # The exact bench-child construction (same layout defaults, plan cache,
+    # and device-ready tile cache), so warm analyses stage instead of
+    # rebuilding at canonical scale.
+    import bench
+
+    obj = bench.build_bench_objective(args, num_sources, 10_000, 1e-3, 42)
 
     fn = jax.jit(lambda p, dv, gg: obj.calculate_traceable(p, dv, gg))
     lowered = fn.lower(obj.params, jnp.zeros(10_000, jnp.float32), jnp.asarray(1e-3))

@@ -46,6 +46,10 @@ def main():
 
     from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
 
+    import os
+
+    compact = os.environ.get("DUALIP_BENCH_COMPACT") == "1"
+    out["compact"] = compact
     cache = HERE.parent / "benchmark_data" / "plan_cache"
     t0 = time.perf_counter()
     obj = MatchingSolverDualObjectiveFunction(
@@ -55,6 +59,7 @@ def main():
         layout="butterfly",
         keep_col_tiles=False,
         plan_cache_dir=str(cache),
+        compact=compact,
     )
     out["build_s"] = round(time.perf_counter() - t0, 1)
     plan = obj.row_layout.plan

@@ -34,7 +34,9 @@ import numpy as np
 CACHE_VERSION = 1
 
 
-def compute_cache_key(A, C, projection_map, pad: int, dtype, explicit: Optional[str]) -> str:
+def compute_cache_key(
+    A, C, projection_map, pad: int, dtype, explicit: Optional[str], extra: str = ""
+) -> str:
     """Cache key for a (problem, layout-options) pair.
 
     ``explicit`` (caller-supplied, e.g. the synthetic generator's cache key)
@@ -54,7 +56,7 @@ def compute_cache_key(A, C, projection_map, pad: int, dtype, explicit: Optional[
         (k, e.proj_type, tuple(sorted(dict(e.proj_params).items())), len(e.indices))
         for k, e in projection_map.items()
     )
-    h.update(repr((CACHE_VERSION, pm, pad, np.dtype(dtype).name, A.shape)).encode())
+    h.update(repr((CACHE_VERSION, pm, pad, np.dtype(dtype).name, A.shape, extra)).encode())
     return h.hexdigest()[:20]
 
 
@@ -80,6 +82,7 @@ def save_butterfly_state(cache_dir, key: str, bcsc, rl, plan_cache_file: str) ->
         "plan_cache_file": str(plan_cache_file),
         "col_offsets": list(rl.col_offsets),
         "row_shapes": [list(s) for s in rl.row_shapes],
+        "col_pack": [list(p) for p in rl.col_pack] if rl.col_pack is not None else None,
         "specs": [
             {
                 "entry_key": s.entry_key,
@@ -173,6 +176,7 @@ def load_butterfly_state(cache_dir, key: str, use_tpu_kernel: bool):
         )
         for i in range(len(row_shapes))
     ]
+    col_pack = meta.get("col_pack")
     rl = RowLayout(
         row_tiles=row_tiles,
         zidx=None,
@@ -182,6 +186,7 @@ def load_butterfly_state(cache_dir, key: str, use_tpu_kernel: bool):
         use_tpu_kernel=use_tpu_kernel,
         col_offsets=tuple(meta["col_offsets"]),
         row_shapes=row_shapes,
+        col_pack=tuple(tuple(p) for p in col_pack) if col_pack is not None else None,
     )
     bcsc = BlockCSC(tiles=[], specs=specs, m=meta["m"], n=meta["n"], nnz=meta["nnz"])
     return bcsc, rl

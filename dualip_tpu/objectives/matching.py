@@ -235,7 +235,8 @@ def matching_local_parts_rowmajor(
         if carry_dtype is not None:
             z_cat = z_cat.astype(carry_dtype)  # fused into the srow-write by XLA
         buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
-        for pt, spec, off in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets):
+        packs = rl.col_pack if rl.col_pack is not None else (None,) * len(rl.col_tiles_T)
+        for pt, spec, off, pk in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets, packs):
             buf, obj_p, reg_p, *x_p = fused_panel_project(
                 buf,
                 pt.a,
@@ -247,6 +248,7 @@ def matching_local_parts_rowmajor(
                 interpret=not rl.use_tpu_kernel,
                 want_x=want_primal,
                 neg_inv_gamma=neg_inv_gamma,
+                pack=pk,
             )
             if want_primal:
                 xs.append(x_p[0])
@@ -365,6 +367,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         carry_dtype=None,
         tile_cache_dir=None,
         tile_cache_key=None,
+        compact: bool = False,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -391,6 +394,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             carry_dtype = jax.dtypes.canonicalize_dtype(carry_dtype)
         self.carry_dtype = carry_dtype
         self.layout = layout
+        if compact and (layout != "butterfly" or mesh is not None):
+            raise ValueError("compact packing is butterfly-only and single-device")
+        self.compact = compact
 
         pad = 1
         sharding = None
@@ -426,7 +432,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             from dualip_tpu.io import tile_cache as _tc
 
             _key = _tc.compute_cache_key(
-                args.A, args.c, args.projection_map, pad, dtype, tile_cache_key
+                args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
+                extra=f"compact={compact}",
             )
             _loaded = _tc.load_butterfly_state(
                 tile_cache_dir, _key, use_tpu_kernel=jax.default_backend() == "tpu"
@@ -446,6 +453,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 pad_cols_to=pad,
                 keep_flat_idx=keep_flat_idx,
                 dtype=dtype,
+                # compact: one bucket per distinct degree — zero within-tile
+                # slot padding, the column half of the halved-N carry buffer
+                bucketing="exact" if compact else "pow2",
             )
             self.row_layout = None
         if _cache_hit:
@@ -500,7 +510,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
 
             method = "butterfly" if layout == "butterfly" else "gather"
             self.row_layout = build_row_layout(  # host tiles
-                self.bcsc, method=method, plan_cache_dir=plan_cache_dir
+                self.bcsc, method=method, plan_cache_dir=plan_cache_dir, compact=compact
             )
         if layout == "butterfly" and not keep_col_tiles:
             # The butterfly hot path never reads the (K, L) column tiles (the

@@ -242,24 +242,36 @@ def fused_tile_eval_T(
     return ax, obj[0, 0], reg[0, 0]
 
 
-def _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref):
+def _panel_body(kind, params, L, q, scal_ref, s_ref, a_ref, c_ref, len_ref):
     """Shared panel-kernel body: z from the carried srow, project, a·x.
 
     ``s_ref`` holds the butterfly-carried ``srow = (-λ/γ)[row]`` region in
     panel layout (``sparse/rowmajor.py::PanelTile``); the kernel computes
     ``z = a·srow + (-1/γ)·c`` from the column-side a/c it streams anyway, so
     row-space copies of a/c never exist (the "srow carry").  Only the first
-    L lanes are real; ghost lanes and narrow (bf16) carries upcast to fp32
+    q·L lanes are real; ghost lanes and narrow (bf16) carries upcast to fp32
     for the bisection — only the HBM storage of srow / a·x is narrow.
-    Returns (x, a, c, ax) in compute dtype (ax narrowed to the carry dtype).
+
+    ``q`` > 1 (compact packing, ``rowmajor._pack_geometry``): each buffer
+    row carries q stacked length-L column segments; the block reshapes to
+    (bp, q, L, 128) and projects along the L axis — ONE vectorized
+    bisection for all segments, with ``len_ref`` (bp, q, 128) masking each
+    segment's padding lanes.  Returns (x, a, c, ax) in compute dtype (ax
+    narrowed to the carry dtype).
     """
-    s = s_ref[...][:, :L, :]
+    s = s_ref[...][:, : q * L, :]
     compute = jnp.float32 if (s.dtype == jnp.bfloat16 or a_ref.dtype == jnp.bfloat16) else s.dtype
     s = s.astype(compute)
     a = a_ref[...].astype(compute)
     c = c_ref[...].astype(compute)
     z = a * s + scal_ref[0].astype(compute) * c
-    x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+    if q == 1:
+        x = _project_block(z, kind, params, len_ref[...], L, axis=1)
+    else:
+        bp, _, C = z.shape
+        z4 = z.reshape(bp, q, L, C)
+        x = _project_block(z4, kind, params, len_ref[...][:, :, None, :], L, axis=2)
+        x = x.reshape(bp, q * L, C)
     ax = (a * x).astype(s_ref.dtype)
     return x, a, c, ax
 
@@ -272,14 +284,14 @@ def _store_ax(o_ref, ax, L, L2):
         o_ref[:, L:, :] = jnp.zeros((ax.shape[0], L2 - L, ax.shape[2]), o_ref.dtype)
 
 
-def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, x_ref, obj_ref, reg_ref):
+def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, q: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, x_ref, obj_ref, reg_ref):
     """``_panel_kernel`` variant that also emits the projected primal ``x``
     (panel form, (bp, L, 128)) — the one-shot ``save_primal`` path
     (reference ``matching.py:155-162`` returned x from its only pipeline;
     the fast layouts here recover it on demand without rebuilding)."""
-    x, a, c, ax = _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref)
+    x, a, c, ax = _panel_body(kind, params, L, q, scal_ref, s_ref, a_ref, c_ref, len_ref)
     x_ref[...] = x.astype(x_ref.dtype)
-    _store_ax(o_ref, ax, L, L2)
+    _store_ax(o_ref, ax, q * L, L2)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -290,17 +302,17 @@ def _panel_kernel_x(kind: str, params: dict, L: int, L2: int, scal_ref, s_ref, a
     reg_ref[0, 0] += jnp.sum(x * x)
 
 
-def _panel_kernel(kind: str, params: dict, L: int, L2: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
+def _panel_kernel(kind: str, params: dict, L: int, L2: int, q: int, scal_ref, s_ref, a_ref, c_ref, len_ref, o_ref, obj_ref, reg_ref):
     """Project one (bp, L2, 128) block of the carry buffer IN PLACE.
 
     The carried srow arrives in panel layout; z is computed here (see
     ``_panel_body``), projected, and a·x written back over the region — the
-    ghost (L2-L) lanes are rewritten as zeros, so the padded-projection
+    ghost (L2-q·L) lanes are rewritten as zeros, so the padded-projection
     semantics (pads participate as zeros, count = L, reference
     ``sparse_utils.py:207-214``) match the csc path exactly.
     """
-    x, a, c, ax = _panel_body(kind, params, L, scal_ref, s_ref, a_ref, c_ref, len_ref)
-    _store_ax(o_ref, ax, L, L2)
+    x, a, c, ax = _panel_body(kind, params, L, q, scal_ref, s_ref, a_ref, c_ref, len_ref)
+    _store_ax(o_ref, ax, q * L, L2)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -322,6 +334,7 @@ def fused_panel_project(
     interpret: bool = False,
     want_x: bool = False,
     neg_inv_gamma: Array = None,
+    pack: Tuple = None,
 ) -> Tuple[Array, ...]:
     """Compute z from the carried srow, project, and write a·x — one tile's
     region of the (N,) carry buffer, in place.
@@ -344,9 +357,17 @@ def fused_panel_project(
     """
     import functools as _ft
 
-    KP, L, C = a_p.shape
-    # L2 (the region's lane stride): ghost lanes exist only in the buffer.
-    L2 = 1 << max(L - 1, 0).bit_length() if L > 1 else 1
+    KP, QL, C = a_p.shape
+    if pack is not None:  # compact: q stacked length-L segments per row
+        L, L2, q = pack
+        if QL != q * L:
+            raise ValueError(f"packed tile shape {a_p.shape} vs pack {pack}")
+        if want_x:
+            raise NotImplementedError("save_primal on the compact packing")
+    else:
+        L, q = QL, 1
+        # L2 (the region's lane stride): ghost lanes exist only in the buffer.
+        L2 = 1 << max(L - 1, 0).bit_length() if L > 1 else 1
     bp = 8
     while KP % bp:
         bp //= 2
@@ -354,7 +375,7 @@ def fused_panel_project(
     assert off % (128 * L2) == 0 and off0 % bp == 0, (off, L2, bp)
     grid = (KP // bp,)
     kernel = _ft.partial(
-        _panel_kernel_x if want_x else _panel_kernel, kind, dict(params_tuple), L, L2
+        _panel_kernel_x if want_x else _panel_kernel, kind, dict(params_tuple), L, L2, q
     )
     obj_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -375,7 +396,7 @@ def fused_panel_project(
         out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[scal_spec, tile_spec(L2), tile_spec(L), tile_spec(L), tile_spec(1)],
+            in_specs=[scal_spec, tile_spec(L2), tile_spec(QL), tile_spec(QL), tile_spec(q)],
             out_specs=[tile_spec(L2)] + x_specs + obj_specs,
             out_shape=[jax.ShapeDtypeStruct((KP, L2, C), buf.dtype)] + x_shapes + obj_shapes,
             interpret=True,
@@ -388,7 +409,7 @@ def fused_panel_project(
         out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[scal_spec, view_spec, tile_spec(L), tile_spec(L), tile_spec(1)],
+            in_specs=[scal_spec, view_spec, tile_spec(QL), tile_spec(QL), tile_spec(q)],
             out_specs=[view_spec] + x_specs + obj_specs,
             out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + x_shapes + obj_shapes,
             input_output_aliases={1: 0},

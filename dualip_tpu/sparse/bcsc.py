@@ -110,6 +110,28 @@ def _pow2_thresholds(max_nnz: int) -> np.ndarray:
     return np.asarray(th, dtype=np.int64)
 
 
+def _geom_thresholds(max_nnz: int, ratio: float = 1.05) -> np.ndarray:
+    """Geometric bucket boundaries with per-bucket padding bounded by
+    ``ratio - 1`` instead of the pow2 rule's up-to-2x — the compact layout's
+    row-side bucketing (at the canonical row-degree skew this takes the row
+    slot ratio from 1.44x to ~1.02x of nnz)."""
+    th = [0]
+    v = 1
+    while v <= max_nnz:
+        th.append(v)
+        v = max(v + 1, int(np.ceil(v * ratio)))
+    th.append(max_nnz + 1)
+    return np.unique(np.asarray(th, dtype=np.int64))
+
+
+def _exact_thresholds(lengths: np.ndarray) -> np.ndarray:
+    """One bucket per distinct column degree: zero within-bucket padding.
+    Practical when the degree support is small (the canonical matching
+    workload has only ~34 distinct column degrees)."""
+    uniq = np.unique(lengths[lengths > 0]).astype(np.int64)
+    return np.concatenate([[0], uniq, [uniq[-1] + 1] if uniq.size else [1]])
+
+
 def _build_tile(
     A: CSCMatrix,
     C: CSCMatrix,
@@ -202,12 +224,16 @@ def build_blockcsc(
     pad_cols_to: int = 1,
     keep_flat_idx: bool = True,
     dtype=np.float32,
+    bucketing: str = "pow2",
 ) -> BlockCSC:
     """Bucket the columns of same-pattern (A, c) into projection tiles.
 
-    ``batching=True`` groups each projection entry's columns by power-of-2 nnz
-    buckets (reference ``matching.py:74-77``); ``batching=False`` keeps one
-    tile per entry padded to the entry's global max nnz.
+    ``batching=True`` groups each projection entry's columns by nnz buckets
+    (reference ``matching.py:74-77``); ``batching=False`` keeps one
+    tile per entry padded to the entry's global max nnz.  ``bucketing``
+    selects the bucket boundaries: ``"pow2"`` (the reference rule) or
+    ``"exact"`` (one bucket per distinct degree — zero within-tile slot
+    padding, the compact butterfly layout's column rule).
 
     Columns not covered by any entry get the identity projection (the
     reference left them untouched — or clobbered them through its preallocated
@@ -224,7 +250,12 @@ def build_blockcsc(
     # reference matching.py:102-113).
     has_empty = bool((lengths == 0).any())
 
-    thresholds = _pow2_thresholds(m)
+    if bucketing == "exact":
+        thresholds = _exact_thresholds(lengths)
+    elif bucketing == "pow2":
+        thresholds = _pow2_thresholds(m)
+    else:
+        raise ValueError(f"Unknown bucketing {bucketing!r} (expected 'pow2' or 'exact')")
     # torch.bucketize(right=False): index i s.t. th[i-1] < len <= th[i]
     bucket_ids = np.searchsorted(thresholds, lengths, side="left")
 

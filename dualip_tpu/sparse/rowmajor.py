@@ -100,6 +100,30 @@ class PanelTile(NamedTuple):
     length: Array  # (K//128, 1, 128) int32
 
 
+def _pack_geometry(L: int, max_l2: int = 512, max_q: int = 64):
+    """(L2, q) for the compact column packing: q = L2//L columns of length L
+    share one L2-lane buffer row (pow2 L2 keeps the region a whole-row range
+    of the free bitcast view, exactly like the plain layout).  Picks the
+    smallest pow2 L2 whose waste (L2 - q·L)/L2 drops to ≤ 1/32, else the
+    argmin — e.g. L=34 → L2=512, q=15 (0.4% waste); L=1 → L2=64, q=64
+    (0%).  Caps: L2 ≤ 512 bounds the kernel block, q ≤ 64 bounds the
+    per-kernel unroll."""
+    cand = 1 << max(L - 1, 0).bit_length() if L > 1 else 1
+    best = None
+    while cand <= max_l2 and cand // L <= max_q:
+        q = cand // L
+        waste = (cand - q * L) / cand
+        if best is None or waste < best[0] - 1e-12:
+            best = (waste, cand, q)
+        if waste <= 1 / 32:
+            break
+        cand *= 2
+    if best is None:  # L > max_l2: one column per pow2 row
+        l2 = 1 << max(L - 1, 0).bit_length()
+        return l2, 1
+    return best[1], best[2]
+
+
 @dataclass
 class RowLayout:
     """Static companion indices for one BlockCSC (a JAX pytree).
@@ -127,15 +151,18 @@ class RowLayout:
     use_tpu_kernel: bool = False
     col_offsets: Optional[tuple] = None  # static per-tile flat region starts
     row_shapes: Optional[tuple] = None  # static ((R, Lr), ...) per row tile (butterfly)
+    # compact packing: static per-tile (L, L2, q) — q columns of length L per
+    # L2-lane buffer row (None = plain one-column-per-row panels)
+    col_pack: Optional[tuple] = None
 
     def tree_flatten(self):
         children = (self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T)
-        aux = (self.use_tpu_kernel, self.col_offsets, self.row_shapes)
+        aux = (self.use_tpu_kernel, self.col_offsets, self.row_shapes, self.col_pack)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        use_tpu_kernel, col_offsets, row_shapes = aux
+        use_tpu_kernel, col_offsets, row_shapes, col_pack = aux
         row_tiles, zidx, row_pos, plan, col_tiles_T = children
         return cls(
             row_tiles=list(row_tiles),
@@ -146,6 +173,7 @@ class RowLayout:
             use_tpu_kernel=use_tpu_kernel,
             col_offsets=col_offsets,
             row_shapes=row_shapes,
+            col_pack=col_pack,
         )
 
 
@@ -155,7 +183,7 @@ jax.tree_util.register_pytree_node(
 
 
 def build_row_layout(
-    bcsc, method: str = "gather", plan_cache_dir=None, _forced=None
+    bcsc, method: str = "gather", plan_cache_dir=None, _forced=None, compact: bool = False
 ) -> RowLayout:
     """Build the row-major companion of a (host-side) BlockCSC.
 
@@ -168,10 +196,21 @@ def build_row_layout(
     (butterfly only) caches the routed plan on disk keyed by a hash of the
     permutation — routing is O(N log²N) host work (~30-120 s at N=4M), the
     cache load is seconds.
+
+    ``compact=True`` (butterfly only): the COMPACT packing — q = L2//L
+    columns share each pow2 buffer row (``_pack_geometry``) and the row side
+    buckets geometrically (1.05x) instead of pow2, shrinking the carry
+    buffer to ~1.02-1.05x of nnz.  At the canonical 250M-nnz shape this
+    halves N (2^29 → 2^28) and with it every carry pass and mask read.
+    Build the BlockCSC with ``bucketing="exact"`` for zero within-tile slot
+    padding.  Numerics: identical operands, different summation grouping —
+    parity within normal fp32 reassociation tolerance.
     """
     if method not in ("gather", "butterfly"):
         raise ValueError(f"Unknown row-layout method {method!r}")
-    from dualip_tpu.sparse.bcsc import _pow2_thresholds
+    if compact and (method != "butterfly" or _forced is not None):
+        raise ValueError("compact packing is butterfly-only and single-device")
+    from dualip_tpu.sparse.bcsc import _geom_thresholds, _pow2_thresholds
 
     m = bcsc.m
 
@@ -185,7 +224,7 @@ def build_row_layout(
     # (no slices, no relayout copies, no a·x re-assembly).
     transposed = method == "butterfly"
     if transposed:
-        KLs = []
+        KLs = []  # (K, L, L2, q, BP): q cols/buffer-row, BP buffer rows
         for tile in bcsc.tiles:
             K, L = np.asarray(tile.rows).shape
             if K % 128:
@@ -193,14 +232,20 @@ def build_row_layout(
                     f"butterfly layout needs tile K divisible by 128 (got K={K}); "
                     "build the BlockCSC with pad_cols_to a multiple of 128"
                 )
-            KLs.append((K, L, 1 << max(L - 1, 0).bit_length() if L > 1 else 1))
+            if compact:
+                L2, q = _pack_geometry(L)
+            else:
+                L2, q = (1 << max(L - 1, 0).bit_length() if L > 1 else 1), 1
+            pr = K // 128  # panel rows (128 columns each)
+            BP = -(-pr // q)  # buffer rows (q panel rows share one)
+            KLs.append((K, L, L2, q, BP))
         # descending L2, stable: off_t is then always a multiple of 128*L2_t
         order = sorted(range(len(KLs)), key=lambda i: -KLs[i][2])
         col_offsets = [0] * len(KLs)
         cum = 0
         for i in order:
             col_offsets[i] = cum
-            cum += KLs[i][0] * KLs[i][2]
+            cum += KLs[i][4] * KLs[i][2] * 128
         col_total = cum
     rows_l, a_l, c_l, axflat_l = [], [], [], []
     off = 0
@@ -210,9 +255,15 @@ def build_row_layout(
         lane = np.arange(L)[None, :]
         valid = lane < np.asarray(tile.length)[:, None]
         if transposed:
-            L2 = KLs[i][2]
+            _, _, L2, q, _ = KLs[i]
             kcol = np.arange(K)[:, None]
-            flat = col_offsets[i] + (kcol >> 7) * (128 * L2) + lane * 128 + (kcol & 127)
+            pr = kcol >> 7  # panel row of column k
+            flat = (
+                col_offsets[i]
+                + (pr // q) * (128 * L2)
+                + ((pr % q) * L + lane) * 128
+                + (kcol & 127)
+            )
         else:
             flat = off + np.arange(K * L).reshape(K, L)
             # Row-space a/c only exist in gather mode (z computed in row
@@ -246,7 +297,12 @@ def build_row_layout(
         bucket_shapes = _forced["bucket_shapes"]
         bucket_ids = sorted(bucket_shapes)
     else:
-        thresholds = _pow2_thresholds(int(counts.max()) if counts.size else 1)
+        max_count = int(counts.max()) if counts.size else 1
+        # compact: geometric row buckets (≤5% per-bucket padding) instead of
+        # the pow2 rule's up-to-2x — the row side must fit the same halved N
+        thresholds = (
+            _geom_thresholds(max_count, 1.05) if compact else _pow2_thresholds(max_count)
+        )
         bucket_shapes = None
         bucket_ids = range(1, len(thresholds))
     bucket_of = np.searchsorted(thresholds, counts[nz_rows], side="left")
@@ -401,17 +457,44 @@ def build_row_layout(
             )
         del packed
         col_tiles_T = []
-        for t in bcsc.tiles:
+        for i, t in enumerate(bcsc.tiles):
             a_np, c_np = np.asarray(t.a), np.asarray(t.c)
             K, L = a_np.shape
-            col_tiles_T.append(
-                PanelTile(
-                    # (K, L) -> (K//128, L, 128): panel p, lane l, col c = (p*128+c, l)
-                    a=jnp.asarray(a_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
-                    c=jnp.asarray(c_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
-                    length=jnp.asarray(np.asarray(t.length).reshape(K // 128, 1, 128)),
+            _, _, L2, q, BP = KLs[i]
+            if q == 1:
+                col_tiles_T.append(
+                    PanelTile(
+                        # (K, L) -> (K//128, L, 128): panel p, lane l, col c = (p*128+c, l)
+                        a=jnp.asarray(a_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
+                        c=jnp.asarray(c_np.reshape(K // 128, 128, L).transpose(0, 2, 1).copy()),
+                        length=jnp.asarray(np.asarray(t.length).reshape(K // 128, 1, 128)),
+                    )
                 )
-            )
+            else:
+                # compact: q panel rows stack into each buffer row — arrays
+                # become (BP, q*L, 128) / lengths (BP, q, 128); panel rows
+                # beyond K//128 (last-buffer-row shortfall) are zeros
+                # (length 0: the projection masks them exactly like padding
+                # columns)
+                pr = K // 128
+                pad = BP * q - pr
+
+                def _stack(x):
+                    x = x.reshape(pr, 128, L).transpose(0, 2, 1)  # (pr, L, 128)
+                    if pad:
+                        x = np.concatenate([x, np.zeros((pad, L, 128), dtype=x.dtype)])
+                    return np.ascontiguousarray(x.reshape(BP, q * L, 128))
+
+                lens = np.asarray(t.length).reshape(pr, 1, 128)
+                if pad:
+                    lens = np.concatenate([lens, np.zeros((pad, 1, 128), dtype=lens.dtype)])
+                col_tiles_T.append(
+                    PanelTile(
+                        a=jnp.asarray(_stack(a_np)),
+                        c=jnp.asarray(_stack(c_np)),
+                        length=jnp.asarray(np.ascontiguousarray(lens.reshape(BP, q, 128))),
+                    )
+                )
         out = RowLayout(
             row_tiles=row_tiles,
             zidx=None,
@@ -421,6 +504,7 @@ def build_row_layout(
             use_tpu_kernel=use_tpu_kernel,
             col_offsets=tuple(col_offsets),
             row_shapes=tuple(row_shapes),
+            col_pack=tuple((L, L2, q) for (_, L, L2, q, _) in KLs) if compact else None,
         )
         # Non-pytree breadcrumb for the device-ready layout cache
         # (dualip_tpu/io/tile_cache.py): which plan-cache file this layout's

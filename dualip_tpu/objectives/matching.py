@@ -431,9 +431,11 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         ):
             from dualip_tpu.io import tile_cache as _tc
 
+            # /g2: compact geometry revision (BP padded to 8) — revs the key
+            # so stale compact entries miss without invalidating plain ones
             _key = _tc.compute_cache_key(
                 args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
-                extra=f"compact={compact}",
+                extra=f"compact={compact}/g2" if compact else f"compact={compact}",
             )
             _loaded = _tc.load_butterfly_state(
                 tile_cache_dir, _key, use_tpu_kernel=jax.default_backend() == "tpu"

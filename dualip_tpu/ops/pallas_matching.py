@@ -371,6 +371,12 @@ def fused_panel_project(
     bp = 8
     while KP % bp:
         bp //= 2
+    # VMEM ceiling: the block set (carry in+out, a, c, fp32 z/x scratch,
+    # double-buffered) scales with bp·L2; at the compact packing's L2=512
+    # bp=8 overflows the ~16 MB scoped vmem (observed 17.75M) — halve bp
+    # until bp·L2 ≤ 2048 (plain tiles, L2 ≤ 64-128, keep bp=8).
+    while bp > 1 and bp * L2 > 2048:
+        bp //= 2
     off0 = off // (128 * L2)
     assert off % (128 * L2) == 0 and off0 % bp == 0, (off, L2, bp)
     grid = (KP // bp,)
@@ -406,6 +412,16 @@ def fused_panel_project(
         view = buf.reshape(-1, L2, C)
         base = off0 // bp
         view_spec = pl.BlockSpec((bp, L2, C), lambda j: (base + j, 0, 0), memory_space=pltpu.VMEM)
+        # The compact 4D projection (bp, q, L, 128) pads L<8 segments to
+        # whole sublane tiles inside the kernel, inflating its VMEM stack
+        # past the default 16M scoped limit at canonical scale — lift the
+        # per-kernel ceiling (physical VMEM is far larger; the block specs
+        # above keep the streamed working set itself modest).
+        params = (
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+            if q > 1
+            else None
+        )
         out, *rest = pl.pallas_call(
             kernel,
             grid=grid,
@@ -413,6 +429,7 @@ def fused_panel_project(
             out_specs=[view_spec] + x_specs + obj_specs,
             out_shape=[jax.ShapeDtypeStruct(view.shape, buf.dtype)] + x_shapes + obj_shapes,
             input_output_aliases={1: 0},
+            compiler_params=params,
             interpret=False,
         )(scal, view, a_p, c_p, len_p)
         buf = out.reshape(-1)

@@ -238,6 +238,13 @@ def build_row_layout(
                 L2, q = (1 << max(L - 1, 0).bit_length() if L > 1 else 1), 1
             pr = K // 128  # panel rows (128 columns each)
             BP = -(-pr // q)  # buffer rows (q panel rows share one)
+            if q > 1:
+                # Buffer rows pad to a multiple of 8 so every region's
+                # off0 (in L2-row units) stays a multiple of the panel
+                # kernel's bp=8 grid block (plain tiles inherit this from
+                # pad_cols_to=1024 -> pr % 8 == 0; packed BP = ceil(pr/q)
+                # can land odd otherwise).  Cost: ≤ 7·L2·128 zero slots.
+                BP = -(-BP // 8) * 8
             KLs.append((K, L, L2, q, BP))
         # descending L2, stable: off_t is then always a multiple of 128*L2_t
         order = sorted(range(len(KLs)), key=lambda i: -KLs[i][2])

@@ -126,6 +126,39 @@ def test_compact_bf16_carry_composes():
     assert np.allclose(g32, np.asarray(r16.dual_gradient), atol=3e-2 * scale)
 
 
+def test_compact_offset_alignment_with_odd_buffer_rows():
+    """Regression (first canonical compact run): BP = ceil(pr/q) can land odd,
+    leaving later tiles' region starts off the panel kernel's bp-grid; BP now
+    pads to a multiple of 8.  This problem makes a q=25 tile with pr=75
+    (BP would be 3) followed by smaller-L2 tiles."""
+    rng = np.random.default_rng(13)
+    m, n = 30, 9600 + 700
+    dense = np.zeros((m, n), dtype=np.float32)
+    rows_pick = rng.integers(0, m, size=(9600, 5))
+    for j in range(9600):  # 9600 columns of exact degree 5 (pr=75, q=25)
+        dense[np.unique(rows_pick[j]) % m, j] = rng.random(np.unique(rows_pick[j]).size)
+        while np.count_nonzero(dense[:, j]) < 5:
+            dense[rng.integers(0, m), j] = 0.5
+    for j in range(9600, n):  # mixed small degrees afterwards
+        d = int(rng.integers(1, 4))
+        dense[rng.choice(m, size=d, replace=False), j] = rng.random(d)
+    A = csc_from_dense(dense)
+    C = csc_from_dense(np.where(dense != 0, -rng.random((m, n)).astype(np.float32), 0))
+    args = MatchingInputArgs(
+        A=A, c=C, projection_map=create_projection_map("simplex", {"z": 1.0}, n),
+        b_vec=np.full(m, 2.0, np.float32),
+    )
+    o_cp = MatchingSolverDualObjectiveFunction(
+        args, gamma=1e-3, layout="butterfly", compact=True, keep_flat_idx=False,
+        keep_col_tiles=False,
+    )
+    o_csc = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    lam = jnp.asarray(np.abs(np.random.default_rng(2).normal(size=m)).astype(np.float32))
+    r1, r2 = o_csc.calculate(lam), o_cp.calculate(lam)
+    g1, g2 = np.asarray(r1.dual_gradient), np.asarray(r2.dual_gradient)
+    assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max()))
+
+
 def test_compact_rejects_unsupported_modes():
     args = _problem(5, m=8, n=100)
     with pytest.raises(ValueError):

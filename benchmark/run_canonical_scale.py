@@ -118,7 +118,14 @@ def tpu_run(n_small: int, n_big: int, child_timeout: int) -> None:
     )
     import bench
 
-    entry = {"phase": "tpu_run", "num_sources": NUM_SOURCES, "children": []}
+    entry = {
+        "phase": "tpu_run",
+        "num_sources": NUM_SOURCES,
+        "carry_dtype": os.environ.get("DUALIP_BENCH_CARRY_DTYPE", "float32"),
+        "compact": os.environ.get("DUALIP_BENCH_COMPACT") == "1",
+        "launch_chunk": int(os.environ.get("DUALIP_BENCH_LAUNCH_CHUNK", "0")),
+        "children": [],
+    }
     r_small = bench._run_child(NUM_SOURCES, NUM_DESTS, SPARSITY, n_small, SEED, child_timeout)
     if r_small:
         entry["children"].append(r_small)

@@ -85,8 +85,12 @@ def _components_min(h: np.ndarray, max_cycle_log2: int | None = None) -> np.ndar
 
 
 def _route_shape(perm: np.ndarray, pad_to, n_in):
-    """Normalize (perm, n_out, n_in, N, n) for the routers."""
-    perm = np.asarray(perm, dtype=np.int64)
+    """Normalize (perm, n_out, n_in, N, n) for the routers.  Integer dtypes
+    pass through (the 500M-nnz build hands int32; forcing int64 here cost a
+    4 GB transient copy); anything else normalizes to int64."""
+    perm = np.asarray(perm)
+    if perm.dtype not in (np.int32, np.int64):
+        perm = perm.astype(np.int64)
     n_out = perm.size
     if n_in is None:
         n_in = int(perm.max()) + 1 if perm.size else 1

@@ -254,21 +254,29 @@ def build_row_layout(
             col_offsets[i] = cum
             cum += KLs[i][4] * KLs[i][2] * 128
         col_total = cum
+    # Position dtype: int32 whenever every flat position fits — at 500M nnz
+    # the int64 position/permutation arrays alone were ~30 GB of the
+    # build's RSS peak (OOM at 130 GB); int32 halves them.  4x headroom
+    # covers row_total (≤2x nnz at pow2 row buckets) and the pow2 N.
+    _hi = 4 * max(col_total if transposed else 1, bcsc.nnz, m, 2)
+    pdt = np.int32 if _hi < 2**31 else np.int64
+    rows_dt = np.uint16 if m <= np.iinfo(np.uint16).max else np.int32
+
     rows_l, a_l, c_l, axflat_l = [], [], [], []
     off = 0
     for i, tile in enumerate(bcsc.tiles):
         rows = np.asarray(tile.rows)
         K, L = rows.shape
-        lane = np.arange(L)[None, :]
-        valid = lane < np.asarray(tile.length)[:, None]
+        lane = np.arange(L, dtype=pdt)[None, :]
+        valid = np.arange(L)[None, :] < np.asarray(tile.length)[:, None]
         if transposed:
             _, _, L2, q, _ = KLs[i]
-            kcol = np.arange(K)[:, None]
+            kcol = np.arange(K, dtype=pdt)[:, None]
             pr = kcol >> 7  # panel row of column k
             flat = (
-                col_offsets[i]
-                + (pr // q) * (128 * L2)
-                + ((pr % q) * L + lane) * 128
+                pdt(col_offsets[i])
+                + (pr // q) * pdt(128 * L2)
+                + ((pr % q) * pdt(L) + lane) * pdt(128)
                 + (kcol & 127)
             )
         else:
@@ -282,18 +290,23 @@ def build_row_layout(
         axflat_l.append(flat[valid])
         off += K * L
     ax_sentinel = col_total if transposed else off  # trailing zero in the ax concat
-    rows_all = np.concatenate(rows_l).astype(np.int64)
+    rows_all = np.concatenate(rows_l).astype(rows_dt, copy=False)
+    n_nnz = rows_all.size
+    del rows_l
     if not transposed:
         a_all = np.concatenate(a_l)
         c_all = np.concatenate(c_l)
-    axflat_all = np.concatenate(axflat_l).astype(np.int64)
+    del a_l, c_l
+    axflat_all = np.concatenate(axflat_l).astype(pdt, copy=False)
+    del axflat_l
 
     # --- order nonzeros by constraint row (stable: keeps column order) -----
-    order = np.argsort(rows_all, kind="stable")
-    rows_s = rows_all[order]
-    counts = np.bincount(rows_s, minlength=m)
+    # (radix sort on the narrow row dtype; positions held in pdt)
+    order = np.argsort(rows_all, kind="stable").astype(pdt, copy=False)
+    counts = np.bincount(rows_all, minlength=m)
+    del rows_all
     nz_rows = np.nonzero(counts)[0]
-    row_starts = np.concatenate([[0], np.cumsum(counts[nz_rows])])
+    row_starts = np.concatenate([[0], np.cumsum(counts[nz_rows])]).astype(pdt, copy=False)
 
     # ``_forced`` (sharded builds, ``build_row_layout_sharded``): every shard
     # must produce identically-shaped row tiles / plan for SPMD, so the
@@ -318,7 +331,7 @@ def build_row_layout(
     row_tiles: List[RowTile] = []
     row_shapes: List[tuple] = []
     # position in the z concat for every sorted nonzero
-    zpos_sorted = np.empty(rows_s.size, dtype=np.int64)
+    zpos_sorted = np.empty(n_nnz, dtype=pdt)
     # position of each present row's sum in the sums concat
     sumpos = np.full(m, -1, dtype=np.int64)
     zoff = 0
@@ -337,12 +350,12 @@ def build_row_layout(
         # they carry zeros and their sum slot is never referenced by row_pos)
         row_ids_t = np.zeros(R, dtype=np.int32)
         row_ids_t[: sel.size] = nz_rows[sel]
-        # vectorized ragged fill (same trick as bcsc._build_tile)
-        r_rep = np.repeat(np.arange(sel.size), lens)
-        prefix = np.cumsum(lens) - lens
-        l_in_row = np.arange(int(lens.sum())) - prefix[r_rep]
+        # vectorized ragged fill (same trick as bcsc._build_tile), pdt-sized
+        r_rep = np.repeat(np.arange(sel.size, dtype=pdt), lens)
+        prefix = (np.cumsum(lens) - lens).astype(pdt, copy=False)
+        l_in_row = np.arange(int(lens.sum()), dtype=pdt) - prefix[r_rep]
         sorted_pos = row_starts[sel][r_rep] + l_in_row  # index into the sorted nnz order
-        zpos_sorted[sorted_pos] = zoff + r_rep * Lr + l_in_row
+        zpos_sorted[sorted_pos] = pdt(zoff) + r_rep * pdt(Lr) + l_in_row
         sumpos[nz_rows[sel]] = sumoff + np.arange(sel.size)
         if method == "gather":
             src = order[sorted_pos]
@@ -380,8 +393,9 @@ def build_row_layout(
     # rows with no nonzeros point at the sums sentinel (zero gradient)
     row_pos = np.where(sumpos >= 0, sumpos, sumoff).astype(np.int32)
 
-    zpos_all = np.empty(rows_all.size, dtype=np.int64)
+    zpos_all = np.empty(n_nnz, dtype=pdt)
     zpos_all[order] = zpos_sorted
+    del order, zpos_sorted
 
     if method == "butterfly":
         # col_total = Σ K·L2 over column tiles (panel regions, see PanelTile)
@@ -396,16 +410,19 @@ def build_row_layout(
         # maps to itself — together with benes_route's identity tail this
         # turns most padding into routing fixed points, which the cycle-
         # walking router short-circuits (docs/performance.md).
-        perm = np.full(col_total, -1, dtype=np.int64)
+        perm = np.full(col_total, -1, dtype=pdt)
         perm[axflat_all] = zpos_all
+        del axflat_all
         used = np.zeros(N, dtype=bool)
         used[zpos_all] = True
+        del zpos_all
         missing = np.nonzero(perm < 0)[0]
         fix = ~used[missing]
         perm[missing[fix]] = missing[fix]
         used[missing[fix]] = True
         rest = missing[~fix]
         perm[rest] = np.nonzero(~used)[0][: rest.size]
+        del used, missing, fix, rest
         use_tpu_kernel = jax.default_backend() == "tpu"
         plan = None
         packed = None  # (planes, dists, n_in, n_out) — the cache/TPU currency
@@ -414,7 +431,9 @@ def build_row_layout(
             import hashlib
             from pathlib import Path
 
-            key = hashlib.sha1(perm.tobytes()).hexdigest()[:20]
+            # hash the int64 view so keys stay stable across the position
+            # dtype (pdt) the builder happens to use (transient copy)
+            key = hashlib.sha1(np.ascontiguousarray(perm, dtype=np.int64).tobytes()).hexdigest()[:20]
             # v2: masks stored as bit-planes (8 stages/byte) — the unpacked
             # (2n-1, N) int8 form is 3.3 GB at N=2^26 (30 GB at 2^29)
             cache_path = Path(plan_cache_dir) / f"benes2_{key}_{N}_{row_total}.npz"

@@ -195,6 +195,94 @@ def _run_child(num_sources, num_dests, sparsity, iters, seed, timeout_s=900):
     return None
 
 
+def _canonical_marker():
+    """The canonical-scale prime (``run_canonical_scale.py --prime-tile-cache
+    --write-marker``) records its shape + layout env in CANONICAL.json inside
+    the tile-cache dir.  When present (and the cache entry it points at still
+    exists), bench.py runs the full 25M×10K flagship workload through the
+    driver protocol instead of the 2.5M probe."""
+    cache_dir = Path(
+        os.environ.get(
+            "DUALIP_BENCH_TILE_CACHE", str(HERE / "benchmark_data" / "tile_cache")
+        )
+    )
+    marker = cache_dir / "CANONICAL.json"
+    if not marker.exists():
+        return None
+    try:
+        info = json.loads(marker.read_text())
+    except (OSError, ValueError):
+        return None
+    key_dir = cache_dir / f"butterfly_{info['cache_key']}"
+    if not (key_dir / "meta.json").exists():
+        return None
+    return info
+
+
+def _run_canonical(canon, budget_s, t_start):
+    """Driver-captured canonical bench: a (200, n_big) pair at ~250M nnz on
+    the primed tile cache (VERDICT r3 #1).  Returns (per_iter_s, nnz) or None
+    (caller falls back to the 2.5M probe for blackout windows)."""
+    for k, v in canon.get("env", {}).items():
+        os.environ[k] = str(v)
+    ns, nd, sp, seed = canon["num_sources"], canon["num_dests"], canon["sparsity"], canon["seed"]
+    n_small = int(os.environ.get("DUALIP_BENCH_CANON_SMALL", 200))
+    n_big = int(os.environ.get("DUALIP_BENCH_CANON_BIG", 1100))
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    # Warm staging is 25-60 s; a quiet-window small child is ~250-350 s wall.
+    r_small = _run_child(
+        ns, nd, sp, n_small, seed, timeout_s=max(120, int(min(700, remaining() - 60)))
+    )
+    if r_small is None:
+        print("# canonical small child failed; falling back to probe", file=sys.stderr)
+        return None
+    print(f"# canonical {n_small} iters: {r_small}", file=sys.stderr)
+    rate = r_small["solve_s"] / n_small
+    overhead = r_small["gen_s"] + r_small["build_s"] + 60
+    fit = remaining() - overhead - 60
+    n_big = min(n_big, max(2 * n_small, int(fit / rate)))
+    n_big -= n_big % 100
+    r_big = None
+    if n_big > n_small and remaining() > overhead + rate * n_big:
+        r_big = _run_child(
+            ns, nd, sp, n_big, seed, timeout_s=max(120, int(min(2400, remaining() - 30)))
+        )
+        if r_big:
+            print(f"# canonical {n_big} iters: {r_big}", file=sys.stderr)
+    candidates = []
+    if r_big:
+        slope = (r_big["solve_s"] - r_small["solve_s"]) / (r_big["iters"] - n_small)
+        if slope > 0:
+            candidates.append(slope)
+        candidates.append(r_big["solve_s"] / r_big["iters"])
+    if not candidates:
+        # only the small child landed: its raw rate is an honest upper bound,
+        # but at 200 iters the constant overhead dominates — report it only
+        # if the probe fallback is also out of budget (caller decides).
+        candidates.append(r_small["solve_s"] / n_small)
+        print("# canonical: no big child; small t/n only", file=sys.stderr)
+    per_iter = min(candidates)
+    info = r_big or r_small
+    print(
+        json.dumps(
+            {
+                "mode": "canonical",
+                "nnz": info["nnz"],
+                "iters_small": n_small,
+                "iters_big": r_big["iters"] if r_big else None,
+                "ms_per_iter": round(per_iter * 1000, 2),
+                "dual_objective": info["dual_objective"],
+                **({"hbm_peak_gb": info["hbm_peak_gb"]} if "hbm_peak_gb" in info else {}),
+            }
+        ),
+        file=sys.stderr,
+    )
+    return per_iter, info["nnz"]
+
+
 def main():
     child_cfg = os.environ.get("DUALIP_BENCH_CHILD")
     if child_cfg:
@@ -285,8 +373,23 @@ def main():
         # never let one child run past the budget (+ slack for its teardown)
         return max(60, min(child_timeout, int(_remaining()) + 30))
 
+    canon_result = None
     try:
+        # Canonical mode (driver-captured flagship number): if the 25M×10K
+        # tile cache is primed, measure at ~250M nnz through the same child
+        # protocol; the 2.5M probe below stays as the blackout fallback.
+        if "DUALIP_BENCH_SOURCES" not in os.environ:
+            canon = _canonical_marker()
+            if canon is not None:
+                print(
+                    f"# canonical tile cache primed ({canon['num_sources']}x"
+                    f"{canon['num_dests']}): running flagship workload",
+                    file=sys.stderr,
+                )
+                canon_result = _run_canonical(canon, budget_s, t_start)
         for rep in range(repeats):
+            if canon_result is not None:
+                break  # canonical number captured; probe loop not needed
             if _remaining() <= 0 and (pairs or smalls or bigs):
                 print("# budget reached; using completed samples", file=sys.stderr)
                 break
@@ -351,7 +454,7 @@ def main():
     finally:
         _disarm()  # measurement over: late signals must not kill the JSON print
 
-    if not smalls and not bigs:
+    if canon_result is None and not smalls and not bigs:
         raise RuntimeError("no benchmark child completed")
     # Estimator: min over (a) positive pair slopes and (b) raw big-run rates.
     # A slope removes the constant launch/compile overhead but assumes both
@@ -361,14 +464,29 @@ def main():
     # the per-iteration cost; with n in the thousands the constant term it
     # adds is sub-ms.  The min across both families over several windows is
     # the tightest honest estimate the budget can buy.
-    candidates = [sl for sl in pairs if sl > 0]
-    candidates += [t / n for n, t in bigs if n >= 1000]
-    t_small = min((t for _, t in smalls), default=None)
-    t_big = min((t for _, t in bigs), default=None)
-    if candidates:
-        per_iter = min(candidates)
-    else:  # degraded: small single points only
-        per_iter = min(t / n for n, t in smalls + bigs)
+    if canon_result is not None:
+        per_iter, nnz_out = canon_result
+    else:
+        candidates = [sl for sl in pairs if sl > 0]
+        candidates += [t / n for n, t in bigs if n >= 1000]
+        t_small = min((t for _, t in smalls), default=None)
+        t_big = min((t for _, t in bigs), default=None)
+        if candidates:
+            per_iter = min(candidates)
+        else:  # degraded: small single points only
+            per_iter = min(t / n for n, t in smalls + bigs)
+        nnz_out = info["nnz"]
+        print(
+            json.dumps(
+                {
+                    "nnz": nnz_out,
+                    "t_small_min_s": t_small,
+                    "t_big_min_s": t_big,
+                    "ms_per_iter": round(per_iter * 1000, 3),
+                }
+            ),
+            file=sys.stderr,
+        )
     ips = 1.0 / per_iter
 
     baseline = None
@@ -377,19 +495,8 @@ def main():
         data = json.loads(baselines_path.read_text())
         entry = data.get("torch_cpu_matching")
         if entry:
-            baseline = entry["iters_per_sec"] * entry["nnz"] / info["nnz"]
+            baseline = entry["iters_per_sec"] * entry["nnz"] / nnz_out
 
-    print(
-        json.dumps(
-            {
-                "nnz": info["nnz"],
-                "t_small_min_s": t_small,
-                "t_big_min_s": t_big,
-                "ms_per_iter": round(per_iter * 1000, 3),
-            }
-        ),
-        file=sys.stderr,
-    )
     print(
         json.dumps(
             {
@@ -397,6 +504,7 @@ def main():
                 "value": round(ips, 2),
                 "unit": "iter/s",
                 "vs_baseline": round(ips / baseline, 2) if baseline else None,
+                "nnz": nnz_out,
             }
         )
     )

@@ -70,12 +70,21 @@ def host_build() -> None:
     print(json.dumps(entry))
 
 
-def prime_tile_cache() -> None:
+def prime_tile_cache(write_marker: bool = False) -> None:
     """CPU build that writes the device-ready layout cache (tile_cache.py)
     under the exact key the TPU bench children look up — after this, a warm
     child's build phase is pure IO (panel/row arrays mmap-loaded + one H2D
-    staging) instead of 290-390 s of tile fill + argsort + transposes."""
+    staging) instead of 290-390 s of tile fill + argsort + transposes.
+
+    ``write_marker`` additionally drops ``CANONICAL.json`` into the tile-cache
+    dir: bench.py auto-detects it and runs the flagship 25M×10K workload
+    through the driver protocol (the driver-captured canonical number,
+    VERDICT r3 #1).  The marker records the layout env so the bench children
+    reproduce the primed configuration exactly."""
     os.environ.setdefault("DUALIP_GEN_BACKEND", "native")
+    # flagship configuration: compact butterfly packing + bf16 carry
+    # (carry dtype is runtime-only; compact affects the cache key)
+    os.environ.setdefault("DUALIP_BENCH_COMPACT", "1")
     import subprocess
 
     code = (
@@ -90,9 +99,10 @@ def prime_tile_cache() -> None:
         "args = generate_synthetic_matching_input_args(ns, nd, sp, seed=seed)\n"
         "gen_s = time.perf_counter() - t0\n"
         "t0 = time.perf_counter()\n"
-        "bench.build_bench_objective(args, ns, nd, sp, seed, layout='butterfly')\n"
+        "obj = bench.build_bench_objective(args, ns, nd, sp, seed, layout='butterfly')\n"
         "print(json.dumps({'gen_s': round(gen_s, 1),"
-        " 'build_and_save_s': round(time.perf_counter() - t0, 1)}))\n"
+        " 'build_and_save_s': round(time.perf_counter() - t0, 1),"
+        " 'cache_key': getattr(obj, 'tile_cache_key', None)}))\n"
     )
     t0 = time.perf_counter()
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
@@ -100,14 +110,42 @@ def prime_tile_cache() -> None:
     if line is None:
         print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
         raise SystemExit("tile-cache prime failed")
+    payload = json.loads(line)
     entry = {
         "phase": "prime_tile_cache",
         "wall_s": round(time.perf_counter() - t0, 1),
         "num_sources": NUM_SOURCES,
-        **json.loads(line),
+        **payload,
     }
     _append_result(entry)
     print(json.dumps(entry))
+    if write_marker:
+        if not payload.get("cache_key"):
+            raise SystemExit("prime completed but no cache key was recorded")
+        cache_dir = Path(
+            os.environ.get(
+                "DUALIP_BENCH_TILE_CACHE", str(HERE.parent / "benchmark_data" / "tile_cache")
+            )
+        )
+        marker = {
+            "num_sources": NUM_SOURCES,
+            "num_dests": NUM_DESTS,
+            "sparsity": SPARSITY,
+            "seed": SEED,
+            "cache_key": payload["cache_key"],
+            "env": {
+                "DUALIP_GEN_BACKEND": os.environ.get("DUALIP_GEN_BACKEND", "native"),
+                "DUALIP_BENCH_COMPACT": os.environ.get("DUALIP_BENCH_COMPACT", "1"),
+                "DUALIP_BENCH_CARRY_DTYPE": os.environ.get(
+                    "DUALIP_BENCH_CARRY_DTYPE", "bfloat16"
+                ),
+                "DUALIP_BENCH_LAUNCH_CHUNK": os.environ.get(
+                    "DUALIP_BENCH_LAUNCH_CHUNK", "100"
+                ),
+            },
+        }
+        (cache_dir / "CANONICAL.json").write_text(json.dumps(marker, indent=1))
+        print(f"# canonical marker written: {cache_dir / 'CANONICAL.json'}", file=sys.stderr)
 
 
 def tpu_run(n_small: int, n_big: int, child_timeout: int) -> None:
@@ -169,6 +207,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--host-build", action="store_true")
     ap.add_argument("--prime-tile-cache", action="store_true")
+    ap.add_argument(
+        "--write-marker",
+        action="store_true",
+        help="after priming, write CANONICAL.json so bench.py runs the flagship workload",
+    )
     ap.add_argument("--tpu-run", action="store_true")
     ap.add_argument("--iters-small", type=int, default=200)
     ap.add_argument("--iters-big", type=int, default=1000)
@@ -177,7 +220,7 @@ def main():
     if args.host_build:
         host_build()
     if args.prime_tile_cache:
-        prime_tile_cache()
+        prime_tile_cache(write_marker=args.write_marker)
     if args.tpu_run:
         tpu_run(args.iters_small, args.iters_big, args.child_timeout)
     if not (args.host_build or args.tpu_run or args.prime_tile_cache):

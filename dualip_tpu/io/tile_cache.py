@@ -47,13 +47,22 @@ def compute_cache_key(
     h = hashlib.sha1()
     if explicit is not None:
         h.update(explicit.encode())
+        # Explicit keys assert problem identity (data AND projection-map
+        # assignment); only entry sizes are folded in as a sanity check.
+        idx_id = lambda e: len(e.indices)  # noqa: E731
     else:
         h.update(np.ascontiguousarray(A.indptr).tobytes())
         h.update(np.ascontiguousarray(A.row_indices).tobytes())
         h.update(np.ascontiguousarray(A.data).tobytes())
         h.update(np.ascontiguousarray(C.data).tobytes())
+        # Index MEMBERSHIP matters, not just entry size: two problems with
+        # identical A/C bytes but different entry→column assignments must
+        # not collide (a hit would serve the wrong layout).
+        idx_id = lambda e: hashlib.sha1(  # noqa: E731
+            np.ascontiguousarray(np.asarray(e.indices)).tobytes()
+        ).hexdigest()
     pm = sorted(
-        (k, e.proj_type, tuple(sorted(dict(e.proj_params).items())), len(e.indices))
+        (k, e.proj_type, tuple(sorted(dict(e.proj_params).items())), idx_id(e))
         for k, e in projection_map.items()
     )
     h.update(repr((CACHE_VERSION, pm, pad, np.dtype(dtype).name, A.shape, extra)).encode())
@@ -108,7 +117,12 @@ def save_butterfly_state(cache_dir, key: str, bcsc, rl, plan_cache_file: str) ->
 
         shutil.rmtree(tmp)
         return
-    tmp.replace(d)  # atomic publish: no torn cache on interrupt
+    try:
+        tmp.replace(d)  # atomic publish: no torn cache on interrupt
+    except OSError:  # raced: another builder published between the
+        import shutil  # exists() check and the rename — keep the winner's
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def load_butterfly_state(cache_dir, key: str, use_tpu_kernel: bool):

@@ -431,12 +431,19 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         ):
             from dualip_tpu.io import tile_cache as _tc
 
-            # /g2: compact geometry revision (BP padded to 8) — revs the key
-            # so stale compact entries miss without invalidating plain ones
+            # batching changes bucket boundaries (and so the whole layout);
+            # it must be part of the key or a hit serves the wrong geometry
+            _extra = f"compact={compact}/batching={batching}"
+            if compact:
+                # /g2: compact geometry revision (BP padded to 8) — revs the
+                # key so stale compact entries miss without invalidating
+                # plain ones
+                _extra += "/g2"
             _key = _tc.compute_cache_key(
                 args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
-                extra=f"compact={compact}/g2" if compact else f"compact={compact}",
+                extra=_extra,
             )
+            self.tile_cache_key = _key  # exposed for prime/bench marker plumbing
             _loaded = _tc.load_butterfly_state(
                 tile_cache_dir, _key, use_tpu_kernel=jax.default_backend() == "tpu"
             )

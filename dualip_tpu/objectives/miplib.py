@@ -79,65 +79,188 @@ class _DenseOps:
 
 
 class _SparseOps:
-    """COO A: gather + segment_sum matvecs.
+    """COO A, single device: gather + segment_sum matvecs."""
 
-    With a mesh, the COO triplets shard along the nnz axis (padded with
-    explicit zeros) and each matvec runs per-shard under ``shard_map``:
-    local segment_sum over the shard's nonzeros, then one psum of the
-    (m,)- or (n,)-vector.  segment_sum is not reliably GSPMD-partitionable,
-    so the collective is written out explicitly.
-    """
-
-    def __init__(self, A: CSCMatrix, dtype, mesh=None):
+    def __init__(self, A: CSCMatrix, dtype):
         self.shape = A.shape
-        self.mesh = mesh
-        rows = A.row_indices.astype(np.int32)
-        cols = csc_col_ids(A).astype(np.int32)
-        vals = A.data.astype(dtype)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            n_shards = int(np.prod(mesh.devices.shape))
-            pad = (-len(vals)) % n_shards
-            if pad:
-                rows = np.concatenate([rows, np.zeros(pad, np.int32)])
-                cols = np.concatenate([cols, np.zeros(pad, np.int32)])
-                vals = np.concatenate([vals, np.zeros(pad, dtype)])
-            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
-            self.rows = jax.device_put(jnp.asarray(rows), sh)
-            self.cols = jax.device_put(jnp.asarray(cols), sh)
-            self.vals = jax.device_put(jnp.asarray(vals), sh)
-        else:
-            self.rows = jnp.asarray(rows)
-            self.cols = jnp.asarray(cols)
-            self.vals = jnp.asarray(vals)
+        self.rows = jnp.asarray(A.row_indices.astype(np.int32))
+        self.cols = jnp.asarray(csc_col_ids(A).astype(np.int32))
+        self.vals = jnp.asarray(A.data.astype(dtype))
         self._host = A
 
-    def _sharded_segsum(self, vec: Array, gather_idx: Array, seg_idx: Array, num_segments: int) -> Array:
-        from jax.sharding import PartitionSpec as P
-
-        axis = self.mesh.axis_names[0]
-
-        def local(vals, gi, si, v):
-            part = jax.ops.segment_sum(vals * v[gi], si, num_segments=num_segments)
-            return jax.lax.psum(part, axis)
-
-        return jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()),
-            out_specs=P(),
-        )(self.vals, gather_idx, seg_idx, vec)
-
     def matvec(self, x: Array) -> Array:
-        if self.mesh is not None:
-            return self._sharded_segsum(x, self.cols, self.rows, self.shape[0])
         return jax.ops.segment_sum(self.vals * x[self.cols], self.rows, num_segments=self.shape[0])
 
     def rmatvec(self, y: Array) -> Array:
-        if self.mesh is not None:
-            return self._sharded_segsum(y, self.rows, self.cols, self.shape[1])
         return jax.ops.segment_sum(self.vals * y[self.rows], self.cols, num_segments=self.shape[1])
+
+    def row_norms(self) -> np.ndarray:
+        return row_norms_csc(self._host)
+
+
+class _ColShardedSparseOps:
+    """Column-sharded COO A over a 1-D mesh: O(m) per-iteration communication.
+
+    The round-3 formulation sharded the triplets by nnz, which forced a psum
+    of the FULL (n,)-vector ``A^T λ`` every iteration — violating the design
+    law that per-iteration communication is O(m), independent of n (SURVEY
+    §2.2; reference ``docs/solver/index.rst:128-130``; the reference's
+    matching path obeys it, ``matching.py:272-277``).  Sharding by variable
+    COLUMNS (the reference's own entity-sharding rule,
+    ``dist_utils.py:28-71``, extended to the general-LP objective) keeps
+    ``A^T λ``, ``z``, the projections, and ``x`` entirely shard-local; the
+    only per-iteration collectives are one psum of the (m,)-vector ``A·x``
+    and two scalar psums (``c·x`` and ``‖x‖²``).
+
+    Projection entries are remapped to shard-local indices, padded with an
+    out-of-range sentinel (reads clamp, scatter ``mode="drop"``), so
+    elementwise projections (box / cone / identity) may span shards freely.
+    A joint projection (simplex family — couples its coordinates through a
+    sum constraint) must live entirely inside one shard: padding would
+    change its value, so a spanning joint entry raises at construction.
+    """
+
+    _ELEMENTWISE = ("box", "cone", "identity")
+
+    def __init__(self, A: CSCMatrix, c: np.ndarray, projection_map, dtype, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.shape = A.shape
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        m, n = A.shape
+        S = int(np.prod(mesh.devices.shape))
+        n_local = -(-n // S)
+        self.n_local, self.n_shards = n_local, S
+        sh = NamedSharding(mesh, P(self.axis))
+        self._rep = NamedSharding(mesh, P())
+
+        col_ids = csc_col_ids(A)
+        rows_l, cols_l, vals_l = [], [], []
+        for s in range(S):
+            c0 = min(s * n_local, n)
+            c1 = min(c0 + n_local, n)
+            lo, hi = int(A.indptr[c0]), int(A.indptr[c1])
+            rows_l.append(A.row_indices[lo:hi].astype(np.int32))
+            cols_l.append((col_ids[lo:hi] - c0).astype(np.int32))
+            vals_l.append(np.asarray(A.data[lo:hi], dtype=dtype))
+        nnz_l = max(max(r.size for r in rows_l), 1)
+
+        def _stack(parts, fill, dt):
+            out = np.full((S, nnz_l), fill, dtype=dt)
+            for s, p in enumerate(parts):
+                out[s, : p.size] = p
+            return out
+
+        # padding triplets carry vals=0 at (row 0, col 0): no contribution
+        self.rows = jax.device_put(jnp.asarray(_stack(rows_l, 0, np.int32)), sh)
+        self.cols = jax.device_put(jnp.asarray(_stack(cols_l, 0, np.int32)), sh)
+        self.vals = jax.device_put(jnp.asarray(_stack(vals_l, 0, dtype)), sh)
+
+        c_pad = np.zeros(S * n_local, dtype=dtype)
+        c_pad[:n] = np.asarray(c, dtype=dtype)
+        self.c_sh = jax.device_put(jnp.asarray(c_pad.reshape(S, n_local)), sh)
+
+        # Per-entry shard-local index blocks (S, Lmax); sentinel = n_local.
+        self._proj_idx, self._proj_fns = [], []
+        for key, entry in projection_map.items():
+            idx = np.asarray(entry.indices, dtype=np.int64)
+            if idx.size == 0:
+                continue
+            per_shard = [
+                idx[(idx >= s * n_local) & (idx < min((s + 1) * n_local, n))] - s * n_local
+                for s in range(S)
+            ]
+            joint = entry.proj_type not in self._ELEMENTWISE
+            if joint and sum(1 for p in per_shard if p.size) > 1:
+                raise ValueError(
+                    f"projection entry {key!r} ({entry.proj_type}) couples its "
+                    f"coordinates but spans multiple column shards; joint "
+                    f"entries must fit inside one shard of {n_local} columns "
+                    f"(use fewer devices or the matching objective's "
+                    f"entity-block sharding for per-entity polytopes)"
+                )
+            l_max = max(max(p.size for p in per_shard), 1)
+            blk = np.full((S, l_max), n_local, dtype=np.int32)
+            for s, p in enumerate(per_shard):
+                blk[s, : p.size] = p
+            self._proj_idx.append(jax.device_put(jnp.asarray(blk), sh))
+            self._proj_fns.append(project(entry.proj_type, **entry.proj_params))
+        self._host = A
+        self._fused_jit = None
+
+    # -- the per-iteration fused body: z → project → (Ax, c·x, ‖x‖², x) -----
+    def fused_iteration(self, dual_val: Array, g: Array):
+        from jax.sharding import PartitionSpec as P
+
+        axis, n_local, m = self.axis, self.n_local, self.shape[0]
+        n_proj = len(self._proj_idx)
+
+        def body(rows, cols, vals, c_l, *rest):
+            rows, cols, vals, c_l = rows[0], cols[0], vals[0], c_l[0]
+            proj_blocks, (y, g) = rest[:n_proj], rest[n_proj:]
+            aty = jax.ops.segment_sum(vals * y[rows], cols, num_segments=n_local)
+            z = (-1.0 / g) * (aty + c_l)
+            x = z
+            for blk, fn in zip(proj_blocks, self._proj_fns):
+                idx = blk[0]  # sentinel n_local: reads clamp, writes drop
+                x = x.at[idx].set(fn(x[idx]), mode="drop")
+            ax = jax.lax.psum(
+                jax.ops.segment_sum(vals * x[cols], rows, num_segments=m), axis
+            )
+            cx = jax.lax.psum(jnp.dot(c_l, x), axis)
+            xx = jax.lax.psum(jnp.dot(x, x), axis)
+            return ax, cx, xx, x[None]
+
+        sharded = P(axis)
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(sharded, sharded, sharded, sharded)
+            + (sharded,) * n_proj
+            + (P(), P()),
+            out_specs=(P(), P(), P(), sharded),
+        )
+        return fn(self.rows, self.cols, self.vals, self.c_sh, *self._proj_idx, dual_val, g)
+
+    def gather_primal(self, x_sh: Array) -> Array:
+        """(S, n_local) shard-local primal → global (n,) (all-gather; used
+        only on demand — save_primal / certificate — never per iteration)."""
+        return x_sh.reshape(-1)[: self.shape[1]]
+
+    # -- rare-path matvecs (PDLP certificate, row norms) --------------------
+    def matvec(self, x: Array) -> Array:
+        from jax.sharding import PartitionSpec as P
+
+        axis, n_local, m = self.axis, self.n_local, self.shape[0]
+
+        def body(rows, cols, vals, x):
+            c0 = jax.lax.axis_index(axis) * n_local
+            part = jax.ops.segment_sum(
+                vals[0] * x[cols[0] + c0], rows[0], num_segments=m
+            )
+            return jax.lax.psum(part, axis)
+
+        return jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P(),
+        )(self.rows, self.cols, self.vals, x)
+
+    def rmatvec(self, y: Array) -> Array:
+        from jax.sharding import PartitionSpec as P
+
+        axis, n_local = self.axis, self.n_local
+
+        def body(rows, cols, vals, y):
+            return jax.ops.segment_sum(
+                vals[0] * y[rows[0]], cols[0], num_segments=n_local
+            )
+
+        out = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P(axis),
+        )(self.rows, self.cols, self.vals, y)
+        return out[: self.shape[1]]
 
     def row_norms(self) -> np.ndarray:
         return row_norms_csc(self._host)
@@ -264,10 +387,13 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
     """General-LP dual objective (reference ``miplib.py:28-109``).
 
     Pass ``mesh`` (1-D ``jax.sharding.Mesh``) to shard A over the mesh — dense
-    A by variable columns (GSPMD matmuls), sparse A by nonzeros (shard_map +
-    psum) — with duals/c/b replicated.  The reference's general-LP objective
-    was single-device only; this extends the reference's entity-sharding
-    strategy (its only parallelism axis, SURVEY §2.3) to the general-LP path.
+    A by variable columns (GSPMD matmuls), sparse A by variable columns under
+    ``shard_map`` (``_ColShardedSparseOps``: shard-local ``A^T λ``/projection/
+    ``x``, one (m,)-psum + two scalar psums per iteration) — with duals/b
+    replicated.  The reference's general-LP objective was single-device only;
+    this extends the reference's entity-sharding strategy (its only
+    parallelism axis, SURVEY §2.3) to the general-LP path while keeping its
+    O(m) communication law (reference ``docs/solver/index.rst:128-130``).
     """
 
     def __init__(
@@ -288,11 +414,13 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
             raise ValueError("layout='butterfly' needs sparse A and mesh=None")
         if layout == "butterfly":
             self.ops = _ButterflySparseOps(args.A, dtype, plan_cache_dir=plan_cache_dir)
+        elif self._sparse and mesh is not None:
+            self.ops = _ColShardedSparseOps(
+                args.A, args.c, args.projection_map, dtype, mesh
+            )
         else:
             self.ops = (
-                _SparseOps(args.A, dtype, mesh=mesh)
-                if self._sparse
-                else _DenseOps(args.A, dtype, mesh=mesh)
+                _SparseOps(args.A, dtype) if self._sparse else _DenseOps(args.A, dtype, mesh=mesh)
             )
         self.c = jnp.asarray(np.asarray(args.c, dtype=dtype))
         self.b_vec = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))
@@ -351,6 +479,23 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
             dual_val = (1.0 / self.row_norms) * dual_val
 
         g = jnp.asarray(gamma, dtype=dual_val.dtype)
+
+        if isinstance(self.ops, _ColShardedSparseOps):
+            # Fused shard-local z→project→x with exactly one (m,)-psum and
+            # two scalar psums per iteration (O(m) communication law).
+            ax, cx, xx, x_sh = self.ops.fused_iteration(dual_val, g)
+            Ax_minus_b = ax - self.b_vec
+            if self.row_norms is not None:
+                dual_gradient = (1.0 / self.row_norms) * Ax_minus_b
+            else:
+                dual_gradient = Ax_minus_b
+            reg_penalty = (g / 2.0) * xx
+            dual_obj = cx + reg_penalty + dual_val @ Ax_minus_b
+            res = ObjectiveResult(
+                dual_gradient=dual_gradient, dual_objective=dual_obj, reg_penalty=reg_penalty
+            )
+            return res, x_sh
+
         z = (-1.0 / g) * (self.ops.rmatvec(dual_val) + self.c)
         projected = self._project(z)
 
@@ -382,6 +527,8 @@ class MIPLIB2017ObjectiveFunction(BaseObjective):
         g = gamma if isinstance(gamma, jax.Array) else jnp.asarray(np.float32(gamma))
         res, projected = self._jit_calc(dual_val, g)
         if save_primal:
+            if isinstance(self.ops, _ColShardedSparseOps):
+                projected = self.ops.gather_primal(projected)
             res.primal_var = projected
             res.primal_objective = self.c @ projected
         return res

@@ -153,6 +153,12 @@ class AcceleratedGradientDescent:
       iterations late).  Without an observer the whole solve is one program.
     * ``collect_stats``: record wall-clock phases of the next ``maximize``
       in ``last_run_stats`` (used by benchmarks).
+    * ``launch_chunk``: cap iterations per device launch (0 = whole solve is
+      one program); for shared/preemptible pools whose per-execution watchdog
+      kills long launches.  NOTE: ``launch_chunk=1`` is clamped to 2 (with a
+      warning) — a fully unrolled per-iteration program fuses differently
+      and drifts ~1e-5 from the single-launch solve; 2 is the smallest chunk
+      that keeps numerics bit-identical.
     """
 
     def __init__(

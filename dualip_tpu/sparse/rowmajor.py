@@ -105,8 +105,9 @@ def _pack_geometry(L: int, max_l2: int = 512, max_q: int = 64):
     share one L2-lane buffer row (pow2 L2 keeps the region a whole-row range
     of the free bitcast view, exactly like the plain layout).  Picks the
     smallest pow2 L2 whose waste (L2 - q·L)/L2 drops to ≤ 1/32, else the
-    argmin — e.g. L=34 → L2=512, q=15 (0.4% waste); L=1 → L2=64, q=64
-    (0%).  Caps: L2 ≤ 512 bounds the kernel block, q ≤ 64 bounds the
+    argmin — e.g. L=34 → L2=512, q=15 (0.4% waste); L=1 → L2=1, q=1
+    (equivalent slots per column, zero waste at the first candidate).
+    Caps: L2 ≤ 512 bounds the kernel block, q ≤ 64 bounds the
     per-kernel unroll."""
     cand = 1 << max(L - 1, 0).bit_length() if L > 1 else 1
     best = None

@@ -110,3 +110,49 @@ def test_sharded_via_run_solver():
         **common,
     )
     assert np.isclose(got.dual_objective, ref.dual_objective, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_sparse_comm_volume_is_O_m():
+    """The design law (SURVEY §2.2; reference ``docs/solver/index.rst:128-130``):
+    per-iteration communication is O(m), independent of n.  Round 3 violated
+    it for the general-LP mesh path (nnz-sharded COO psum'd the full
+    (n,)-vector ``A^T λ``); the column-sharded formulation keeps everything
+    n-sized shard-local.  Assert on the compiled HLO: no collective moves
+    more than O(m) elements even with n >> m."""
+    import re
+
+    import jax
+
+    m, n = 8, 4096
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    A[rng.random(size=(m, n)) < 0.7] = 0.0
+    A[:, 0] = np.where(A[:, 0] == 0, 0.5, A[:, 0])
+    c = rng.normal(size=n).astype(np.float32)
+    b = np.abs(rng.normal(size=m)).astype(np.float32) + 0.5
+    pm = create_projection_map("box", {"l": 0.0, "u": 1.0}, n)
+    args = MIPLIBInputArgs(A=csc_from_dense(A), c=c, projection_map=pm, b_vec=b)
+
+    obj = MIPLIB2017ObjectiveFunction(args, mesh=default_mesh(8))
+    lam = jnp.zeros(m, jnp.float32)
+    g = jnp.asarray(np.float32(1e-2))
+    txt = jax.jit(obj._calculate_full).lower(lam, g).compile().as_text()
+
+    # every collective operand must be <= 4m elements (m-vector + scalars,
+    # with slack for fused tuples); an n-sized collective (4096) must not appear
+    offenders = []
+    for op, shapes in re.findall(
+        r"(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)"
+        r"[^(]*\(([^)]*)\)",
+        txt,
+    ):
+        for dt, dims in re.findall(r"(f32|bf16|s32|u32|f64)\[([0-9,]*)\]", shapes):
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            if elems > 4 * m:
+                offenders.append((op, dt, dims, elems))
+    assert not offenders, f"O(n)-sized collectives in compiled HLO: {offenders}"
+    # sanity: the (m,)-gradient all-reduce IS there
+    assert "all-reduce" in txt

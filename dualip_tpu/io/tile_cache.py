@@ -69,13 +69,28 @@ def compute_cache_key(
     return h.hexdigest()[:20]
 
 
-def save_butterfly_state(cache_dir, key: str, bcsc, rl, plan_cache_file: str) -> None:
+def save_butterfly_state(
+    cache_dir, key: str, bcsc, rl, plan_cache_file, n_shards: int = 1
+) -> None:
     """Persist the device-ready butterfly state (see module docstring).
 
     ``rl`` leaves may be jnp or numpy; they are pulled host-side here — call
     on a CPU build (the canonical driver's host-build phase) so this is a
     copy, not a device fetch.
+
+    ``n_shards > 1``: ``rl`` is the STACKED mesh layout
+    (``build_row_layout_sharded`` — every leaf carries a leading shard axis)
+    and ``plan_cache_file`` is the list of per-shard Beneš plan files; arrays
+    persist with their shard axis and the loader re-stacks the per-shard
+    plans.  Requires a full (non-``local_range``) build.
     """
+    if n_shards > 1:
+        plan_files = list(plan_cache_file)
+        if len(plan_files) != n_shards or any(p is None for p in plan_files):
+            raise ValueError(
+                "sharded tile-cache save needs one plan-cache file per shard "
+                f"(got {plan_files!r} for {n_shards} shards)"
+            )
     d = Path(cache_dir) / f"butterfly_{key}"
     tmp = d.with_name(d.name + ".tmp")
     if tmp.exists():
@@ -88,7 +103,10 @@ def save_butterfly_state(cache_dir, key: str, bcsc, rl, plan_cache_file: str) ->
         "m": bcsc.m,
         "n": bcsc.n,
         "nnz": bcsc.nnz,
-        "plan_cache_file": str(plan_cache_file),
+        "n_shards": n_shards,
+        "plan_cache_file": (
+            str(plan_cache_file) if n_shards == 1 else [str(p) for p in plan_files]
+        ),
         "col_offsets": list(rl.col_offsets),
         "row_shapes": [list(s) for s in rl.row_shapes],
         "col_pack": [list(p) for p in rl.col_pack] if rl.col_pack is not None else None,
@@ -142,23 +160,37 @@ def load_butterfly_state(cache_dir, key: str, use_tpu_kernel: bool):
     meta = json.loads(meta_path.read_text())
     if meta.get("version") != CACHE_VERSION:
         return None
-    plan_file = Path(meta["plan_cache_file"])
-    if not plan_file.exists():
+    n_shards = int(meta.get("n_shards", 1))
+    plan_entry = meta["plan_cache_file"]
+    plan_files = (
+        [Path(p) for p in plan_entry] if isinstance(plan_entry, list) else [Path(plan_entry)]
+    )
+    if any(not p.exists() for p in plan_files):
         return None
+
+    import jax
 
     from dualip_tpu.ops.butterfly import BenesPlan, pack_plan_from_planes
     from dualip_tpu.sparse.bcsc import BlockCSC, TileSpec
     from dualip_tpu.sparse.rowmajor import PanelTile, RowLayout, RowTile
 
-    pd = np.load(plan_file)
-    planes = np.asarray(pd["masks_packed"]).view(np.uint8)
-    dists_n = tuple(int(x) for x in pd["dists"])
-    n_in, n_out = int(pd["n_in"]), int(pd["n_out"])
-    if use_tpu_kernel:
-        plan = pack_plan_from_planes(planes, dists_n, n_in, n_out)
-    else:
+    def _plan_from_file(plan_file):
+        pd = np.load(plan_file)
+        planes = np.asarray(pd["masks_packed"]).view(np.uint8)
+        dists_n = tuple(int(x) for x in pd["dists"])
+        n_in, n_out = int(pd["n_in"]), int(pd["n_out"])
+        if use_tpu_kernel:
+            return pack_plan_from_planes(planes, dists_n, n_in, n_out)
         masks = np.unpackbits(planes, axis=0, count=len(dists_n), bitorder="little")
-        plan = BenesPlan(dists=dists_n, masks=masks.astype(np.int8), n_in=n_in, n_out=n_out)
+        return BenesPlan(dists=dists_n, masks=masks.astype(np.int8), n_in=n_in, n_out=n_out)
+
+    plans = [_plan_from_file(p) for p in plan_files]
+    if n_shards == 1:
+        plan = plans[0]
+    else:
+        # per-shard plans share static aux (forced N/row_total); stack the
+        # mask leaves on a leading shard axis like every other layout leaf
+        plan = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *plans)
 
     import jax.numpy as jnp
 

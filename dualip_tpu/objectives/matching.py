@@ -394,8 +394,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             carry_dtype = jax.dtypes.canonicalize_dtype(carry_dtype)
         self.carry_dtype = carry_dtype
         self.layout = layout
-        if compact and (layout != "butterfly" or mesh is not None):
-            raise ValueError("compact packing is butterfly-only and single-device")
+        if compact and layout != "butterfly":
+            raise ValueError("compact packing is butterfly-only")
         self.compact = compact
 
         pad = 1
@@ -417,28 +417,33 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
             pad = max(pad, n_shards * max(pallas_block_k, 128))
 
-        # Device-ready layout cache (single-device butterfly, hot-path-only
-        # builds): a hit skips the tile fill + row argsort + panel transposes
-        # entirely and stages the persisted arrays (dualip_tpu/io/tile_cache).
+        # Device-ready layout cache (butterfly, hot-path-only builds —
+        # single-device or single-controller mesh): a hit skips the tile fill
+        # + row argsort + panel transposes entirely and stages the persisted
+        # arrays (dualip_tpu/io/tile_cache).
+        _n_shards_cache = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         _cache_hit = False
         _cache_save = None  # (dir, key) — persist after a fresh build
         if (
             tile_cache_dir is not None
             and layout == "butterfly"
-            and mesh is None
             and not keep_col_tiles
             and not keep_flat_idx
+            and jax.process_count() == 1  # multihost builds are per-process slices
         ):
             from dualip_tpu.io import tile_cache as _tc
 
             # batching changes bucket boundaries (and so the whole layout);
-            # it must be part of the key or a hit serves the wrong geometry
+            # it must be part of the key or a hit serves the wrong geometry.
+            # The shard count changes every forced shape — key it too.
             _extra = f"compact={compact}/batching={batching}"
             if compact:
                 # /g2: compact geometry revision (BP padded to 8) — revs the
                 # key so stale compact entries miss without invalidating
                 # plain ones
                 _extra += "/g2"
+            if _n_shards_cache > 1:
+                _extra += f"/shards={_n_shards_cache}"
             _key = _tc.compute_cache_key(
                 args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
                 extra=_extra,
@@ -449,6 +454,18 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             )
             if _loaded is not None:
                 self.bcsc, self.row_layout = _loaded
+                if mesh is not None:
+                    # stacked leaves → shard the leading axis over the mesh
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    axis = mesh.axis_names[0]
+                    self.row_layout = jax.tree.map(
+                        lambda x: jax.device_put(
+                            x,
+                            NamedSharding(mesh, PartitionSpec(axis, *([None] * (x.ndim - 1)))),
+                        ),
+                        self.row_layout,
+                    )
                 _cache_hit = True
             else:
                 _cache_save = (tile_cache_dir, _key)
@@ -493,7 +510,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                         "contiguous along the mesh axis"
                     )
                 rl = build_row_layout_sharded(
-                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir, local_range=(lo, hi)
+                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir,
+                    local_range=(lo, hi), compact=compact,
                 )
                 self.row_layout = jax.tree.map(
                     lambda x: jax.make_array_from_process_local_data(
@@ -505,8 +523,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 )
             else:
                 rl = build_row_layout_sharded(  # host tiles
-                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir
+                    self.bcsc, n_shards, plan_cache_dir=plan_cache_dir, compact=compact
                 )
+                self._plan_cache_paths = rl.plan_cache_paths  # pre-device_put
                 # every leaf carries a leading shard axis — shard it over the mesh
                 self.row_layout = jax.tree.map(
                     lambda x: jax.device_put(
@@ -542,7 +561,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             # which on tunneled pools degrades every later launch of this
             # process (CLAUDE.md) — prime the cache from a CPU build instead
             # (benchmark/run_canonical_scale.py --prime-tile-cache).
-            plan_file = getattr(self.row_layout, "plan_cache_path", None)
+            if mesh is not None:
+                plan_file = getattr(self, "_plan_cache_paths", None)
+                if plan_file is not None and any(p is None for p in plan_file):
+                    plan_file = None
+            else:
+                plan_file = getattr(self.row_layout, "plan_cache_path", None)
             if plan_file is not None and (
                 jax.default_backend() != "tpu"
                 or os.environ.get("DUALIP_TILE_CACHE_WRITE") == "1"
@@ -550,7 +574,8 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 from dualip_tpu.io import tile_cache as _tc
 
                 _tc.save_butterfly_state(
-                    _cache_save[0], _cache_save[1], self.bcsc, self.row_layout, plan_file
+                    _cache_save[0], _cache_save[1], self.bcsc, self.row_layout,
+                    plan_file, n_shards=_n_shards_cache,
                 )
         self._jit_cache = {}
         if args.b_vec is not None:

@@ -125,6 +125,23 @@ def _pack_geometry(L: int, max_l2: int = 512, max_q: int = 64):
     return best[1], best[2]
 
 
+def _col_geometry(K: int, L: int, compact: bool):
+    """Panel-region geometry of one (K, L) column tile: ``(L2, q, BP)`` —
+    ``q`` columns of length L per ``L2``-lane buffer row, ``BP`` buffer rows
+    (region size = BP·L2·128 flat slots).  Shared by the single-device build
+    and the sharded shape pass so forced geometries agree by construction."""
+    if compact:
+        L2, q = _pack_geometry(L)
+    else:
+        L2, q = (1 << max(L - 1, 0).bit_length()) if L > 1 else 1, 1
+    pr = K // 128  # panel rows (128 columns each)
+    BP = -(-pr // q)  # buffer rows (q panel rows share one)
+    if q > 1:
+        # pad to the panel kernel's bp=8 grid block (see build_row_layout)
+        BP = -(-BP // 8) * 8
+    return L2, q, BP
+
+
 @dataclass
 class RowLayout:
     """Static companion indices for one BlockCSC (a JAX pytree).
@@ -209,8 +226,8 @@ def build_row_layout(
     """
     if method not in ("gather", "butterfly"):
         raise ValueError(f"Unknown row-layout method {method!r}")
-    if compact and (method != "butterfly" or _forced is not None):
-        raise ValueError("compact packing is butterfly-only and single-device")
+    if compact and method != "butterfly":
+        raise ValueError("compact packing is butterfly-only")
     from dualip_tpu.sparse.bcsc import _geom_thresholds, _pow2_thresholds
 
     m = bcsc.m
@@ -233,19 +250,12 @@ def build_row_layout(
                     f"butterfly layout needs tile K divisible by 128 (got K={K}); "
                     "build the BlockCSC with pad_cols_to a multiple of 128"
                 )
-            if compact:
-                L2, q = _pack_geometry(L)
-            else:
-                L2, q = (1 << max(L - 1, 0).bit_length() if L > 1 else 1), 1
-            pr = K // 128  # panel rows (128 columns each)
-            BP = -(-pr // q)  # buffer rows (q panel rows share one)
-            if q > 1:
-                # Buffer rows pad to a multiple of 8 so every region's
-                # off0 (in L2-row units) stays a multiple of the panel
-                # kernel's bp=8 grid block (plain tiles inherit this from
-                # pad_cols_to=1024 -> pr % 8 == 0; packed BP = ceil(pr/q)
-                # can land odd otherwise).  Cost: ≤ 7·L2·128 zero slots.
-                BP = -(-BP // 8) * 8
+            # q > 1 buffer rows pad to a multiple of 8 so every region's
+            # off0 (in L2-row units) stays a multiple of the panel kernel's
+            # bp=8 grid block (plain tiles inherit this from
+            # pad_cols_to=1024 -> pr % 8 == 0; packed BP = ceil(pr/q) can
+            # land odd otherwise).  Cost: ≤ 7·L2·128 zero slots.
+            L2, q, BP = _col_geometry(K, L, compact)
             KLs.append((K, L, L2, q, BP))
         # descending L2, stable: off_t is then always a multiple of 128*L2_t
         order = sorted(range(len(KLs)), key=lambda i: -KLs[i][2])
@@ -581,19 +591,28 @@ def _slice_bcsc_cols(bcsc, d: int, n_shards: int):
 
 
 def build_row_layout_sharded(
-    bcsc, n_shards: int, plan_cache_dir=None, local_range=None
+    bcsc, n_shards: int, plan_cache_dir=None, local_range=None, compact: bool = False
 ) -> RowLayout:
     """Stacked butterfly layouts for an entity-sharded SPMD solve.
 
     Splits the (host) BlockCSC into ``n_shards`` column shards, builds one
-    butterfly row layout per shard under FORCED common shapes (global pow-2
-    thresholds; per-bucket (R, Lr) and padded N maxed over shards — SPMD
-    needs one program, so per-shard differences must live in array DATA, not
-    shapes), and stacks every leaf along a new leading shard axis.  Shard the
-    result's leaves on that axis over the mesh; inside ``shard_map`` each
-    device squeezes its slice and runs the exact single-device pipeline,
-    followed by one psum of (grad, obj, reg) — the same communication volume
-    as the csc mesh path (SURVEY.md §2.2).
+    butterfly row layout per shard under FORCED common shapes (global
+    thresholds — pow-2, or geometric when ``compact``; per-bucket (R, Lr) and
+    padded N maxed over shards — SPMD needs one program, so per-shard
+    differences must live in array DATA, not shapes), and stacks every leaf
+    along a new leading shard axis.  Shard the result's leaves on that axis
+    over the mesh; inside ``shard_map`` each device squeezes its slice and
+    runs the exact single-device pipeline, followed by one psum of
+    (grad, obj, reg) — the same communication volume as the csc mesh path
+    (SURVEY.md §2.2).
+
+    ``compact=True``: the flagship packing composes with the mesh — each
+    shard gets its own compact layout under a COMMON (L, L2, q, BP) geometry
+    (``_col_geometry`` is a pure function of the shared tile (K, L) shapes,
+    so shards agree by construction; the reference's distributed path makes
+    the same single-device-equals-distributed claim,
+    ``tests/distributed/test_matching_distributed.py:183-195``).  Build the
+    BlockCSC with ``bucketing="exact"``.
 
     ``local_range=(lo, hi)`` (multi-controller runs): the cheap shape pass
     still covers all shards (one program needs agreed shapes), but the
@@ -602,8 +621,12 @@ def build_row_layout_sharded(
     ownership, ``run_matching_benchmark_dist.py:33-193``) — and the stacked
     leading axis is the local shard count, to be assembled globally with
     ``jax.make_array_from_process_local_data``.
+
+    The returned layout carries ``plan_cache_paths`` (list, one per built
+    shard; None entries when plan caching is off) — the sharded tile cache's
+    breadcrumb (``dualip_tpu/io/tile_cache.py``).
     """
-    from dualip_tpu.sparse.bcsc import _pow2_thresholds
+    from dualip_tpu.sparse.bcsc import _geom_thresholds, _pow2_thresholds
 
     m = bcsc.m
     shards = [_slice_bcsc_cols(bcsc, d, n_shards) for d in range(n_shards)]
@@ -619,7 +642,11 @@ def build_row_layout_sharded(
         rows_valid = np.concatenate(rows_valid) if rows_valid else np.zeros(0, np.int64)
         per_shard_counts.append(np.bincount(rows_valid.astype(np.int64), minlength=m))
     max_count = max((int(c.max()) for c in per_shard_counts if c.size), default=1)
-    thresholds = _pow2_thresholds(max(max_count, 1))
+    thresholds = (
+        _geom_thresholds(max(max_count, 1), 1.05)
+        if compact
+        else _pow2_thresholds(max(max_count, 1))
+    )
 
     bucket_shapes = {}
     for c in per_shard_counts:
@@ -634,10 +661,11 @@ def build_row_layout_sharded(
             R0, Lr0 = bucket_shapes.get(int(b), (0, 0))
             bucket_shapes[int(b)] = (max(R0, R), max(Lr0, Lr))
 
-    col_total = 0  # Σ K·L2: panel regions pad lanes to the next power of two
+    col_total = 0  # Σ BP·L2·128 over panel regions (shared across shards)
     for t in shards[0].tiles:
         K, L = np.asarray(t.a).shape
-        col_total += K * ((1 << max(L - 1, 0).bit_length()) if L > 1 else 1)
+        L2, _, BP = _col_geometry(K, L, compact)
+        col_total += BP * L2 * 128
     row_total = sum(R * Lr for R, Lr in bucket_shapes.values())
     N = 1 << int(np.ceil(np.log2(max(col_total, row_total, 2))))
     forced = {"thresholds": thresholds, "bucket_shapes": bucket_shapes, "N": N}
@@ -645,8 +673,14 @@ def build_row_layout_sharded(
     lo, hi = local_range if local_range is not None else (0, n_shards)
     layouts = [
         build_row_layout(
-            shards[d], method="butterfly", plan_cache_dir=plan_cache_dir, _forced=forced
+            shards[d],
+            method="butterfly",
+            plan_cache_dir=plan_cache_dir,
+            _forced=forced,
+            compact=compact,
         )
         for d in range(lo, hi)
     ]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layouts)
+    out = jax.tree.map(lambda *xs: jnp.stack(xs), *layouts)
+    out.plan_cache_paths = [l.plan_cache_path for l in layouts]
+    return out

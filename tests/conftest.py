@@ -34,6 +34,8 @@ _SLOW_PATTERNS = (
     "test_mps_reader.py::test_v150d30_dual_objective",  # 10k-iteration solve
     "test_multihost_two_process.py",     # spawns 2 jax.distributed processes
     "test_misc_components.py::test_graft_dryrun_multichip",
+    "test_matching_sharded.py::test_sharded_compact_golden_trace",
+    "test_matching_sharded.py::test_sharded_tile_cache_warm_start",
     "test_movielens_example.py::test_proxy_solve",
     "test_differential_reference.py",    # torch reference lockstep traces
 )

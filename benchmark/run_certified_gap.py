@@ -1,0 +1,335 @@
+"""Time-to-certified-gap: wall-clock and iterations until the PDLP
+certificate passes, measured end-to-end.
+
+The repo's north-star metric line names "time-to-1e-6 dual gap"
+(BASELINE.json) and all the machinery exists (PDLP certificate
+``dualip_tpu/objectives/miplib.py::calculate_convergence_bound``, reference
+``miplib.py:156-230``; ``stop_condition`` wiring ``optimizers/agd.py``) —
+this script finally produces the measured artifact (VERDICT r3 #6):
+
+* **miplib**: the bundled MIPLIB-2017 ``v150d30-2hopcds`` LP relaxation
+  (reference ``examples/miplib_2017/solve_miplib_dataset.py:42-71``), solved
+  with the reference's settings; every ``--check-every`` iterations the PDLP
+  test runs at the current dual (primal recovered from the γ-subproblem);
+  the first crossing of each tolerance is recorded with its wall time.  The
+  γ-ridge bounds how tight a FIXED-γ solve can certify, so the sweep runs a
+  γ-continuation schedule (γ step-decay, the solver's own mechanism) and
+  reports per-tolerance (iterations, wall_s, γ at crossing).
+* **matching proxy**: the synthetic matching workload has per-entity simplex
+  polytopes (no box reduced-cost recovery), so the certificate does not
+  apply; the PROXY gap is the relative dual-objective plateau
+  ``|g_k − g_{k−W}| / (1 + |g_k|)`` — labeled as a proxy in the artifact.
+
+Writes ``benchmark/results/certified_gap.json``.  Run on CPU for honest wall
+time (the TPU pool is contended and tunneled — CLAUDE.md); pass --platform
+tpu explicitly to override.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
+sys.path.insert(0, str(HERE))
+
+RESULTS = HERE / "results" / "certified_gap.json"
+TOLS = (1e-2, 1e-3, 1e-4, 1e-6)
+
+
+def _append(entry):
+    RESULTS.parent.mkdir(parents=True, exist_ok=True)
+    data = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
+    data.append(entry)
+    RESULTS.write_text(json.dumps(data, indent=1))
+    print(json.dumps(entry))
+
+
+# (γ, stage iteration cap, max_step_size, restart scheme).  Measured
+# behavior (see docs/performance.md "time-to-certified-gap"): each 4× γ drop
+# needs ≳4× the iterations (dual step ∝ γ) and benefits from gradient
+# restart + a tighter step clamp for stability; the per-stage caps below are
+# sized so the ladder spends its budget where the certificate still moves.
+MIPLIB_STAGES = (
+    (1e-3, 4_000, 0.1, None),
+    (2.5e-4, 32_000, 0.1, None),
+    (1.25e-4, 64_000, 0.1, None),
+    (6.25e-5, 128_000, 0.1, None),
+    (6.25e-5, 64_000, 0.03, None),
+)
+
+
+def run_miplib(max_iter: int, check_every: int, f64: bool):
+    """Warm-started γ-continuation ladder with in-stage certificate checks.
+
+    At a FIXED γ the certificate floors at the ridge bias O(γ‖x‖²); decaying
+    γ *inside* one solve (the solver's ``gamma_decay_type="step"``) also
+    shrinks ``max_step_size`` every decay, so late stages crawl.  The ladder
+    solves each γ stage with a fresh step-size engine, warm-starting the dual
+    from the previous stage (the reference's own warm-start mechanism,
+    ``SolverArgs.initial_dual_path`` / ``run_solver.py:127-132``); the PDLP
+    test runs every ``check_every`` iterations INSIDE the stage via
+    ``stop_condition`` (momentum is never reset between checks), recording
+    the first wall-clock crossing of each tolerance and ending a stage when
+    its certificate stops improving.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualip_tpu.io.mps import read_mps_file
+    from dualip_tpu.objectives.miplib import MIPLIB2017ObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+
+    mps = HERE.parent / "examples" / "miplib_2017" / "v150d30-2hopcds.mps.gz"
+    args = read_mps_file(str(mps)).to_miplib_input_args()
+    dt = np.float64 if f64 else np.float32
+    obj = MIPLIB2017ObjectiveFunction(args, dtype=dt)
+    m = np.asarray(args.b_vec).shape[0]
+
+    crossings = {}
+    history = []
+    best = {"worst": float("inf")}
+    lam = jnp.zeros(m, dt)
+    total_iters = 0
+    t0 = time.perf_counter()
+
+    lower = np.asarray(obj.lower, dtype=np.float64)
+    upper = np.asarray(obj.upper, dtype=np.float64)
+    b_np = np.asarray(args.b_vec, dtype=np.float64)
+    from dualip_tpu.sparse.csc import csc_col_ids
+
+    _coo = (
+        np.asarray(args.A.row_indices),
+        csc_col_ids(args.A),
+        np.asarray(args.A.data, dtype=np.float64),
+    )
+    _all_A_nonpos = bool((_coo[2] <= 0).all())
+
+    def _repair(x):
+        """Feasibility repair of the γ-subproblem primal: uniformly upscale
+        (covering rows, b<0) or downscale toward 0, then clamp to the box,
+        and VERIFY Ax <= b numerically before use — exactly the reference's
+        own practice of certifying with an explicit primal
+        (``tests/objectives/test_miplib_objective.py:126-130``).  Returns a
+        feasible candidate or None."""
+        x = np.asarray(x, dtype=np.float64)
+        Ax = np.asarray(obj.ops.matvec(jnp.asarray(x)), dtype=np.float64)
+        viol = Ax - b_np
+        if (viol <= 1e-12).all():
+            return x
+        lo = np.nan_to_num(lower, nan=-np.inf)
+        up = np.nan_to_num(upper, nan=np.inf)
+        x2 = None
+        if _all_A_nonpos:
+            # Monotone targeted repair (covering structure, every A entry
+            # <= 0): raising any x_j only decreases every row of Ax, so
+            # violated rows can be fixed one at a time by raising their own
+            # support variables (proportionally to box headroom) without
+            # hurting any other row.
+            x2 = x.copy()
+            rows_A, cols_A, vals_A = _coo
+            for i in np.nonzero(viol > 1e-12)[0]:
+                sel = rows_A == i
+                js = cols_A[sel]
+                aij = vals_A[sel]
+                Ax_i = float(aij @ x2[js])
+                need = Ax_i - b_np[i]  # > 0
+                if need <= 0:
+                    continue
+                # raising x_j by d_j changes the row by a_ij d_j (<= 0);
+                # need sum(-a_ij d_j) >= need with d_j <= headroom_j
+                head = up[js] - x2[js]
+                cap = float(-aij @ head)
+                if cap < need:
+                    x2 = None
+                    break
+                x2[js] = x2[js] + head * (need / cap)
+        if x2 is None:
+            # fallback: uniform scaling toward feasibility + clamp
+            bad = viol > 1e-12
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratios = b_np[bad] / Ax[bad]
+            if not np.isfinite(ratios).all() or (Ax[bad] == 0).any():
+                return None
+            s = float(ratios.max()) if (ratios > 1).any() else float(ratios.min())
+            x2 = np.clip(s * x, lo, up)
+        Ax2 = np.asarray(obj.ops.matvec(jnp.asarray(x2)), dtype=np.float64)
+        if (Ax2 - b_np <= 1e-9).all():
+            return x2
+        return None
+
+    def check(iteration_total, dual_val, g_now):
+        res = obj.calculate(jnp.asarray(dual_val), gamma=g_now, save_primal=True)
+        cands = [np.asarray(res.primal_var)]
+        rep = _repair(res.primal_var)
+        if rep is not None:
+            cands.append(rep)
+        best_c = None
+        for xc in cands:
+            gap_ub, _, pfeas, dfeas, _ = obj.calculate_convergence_bound(
+                jnp.asarray(dual_val), x=jnp.asarray(xc), tol=min(TOLS)
+            )
+            w = max(float(gap_ub), float(pfeas), float(dfeas))
+            if best_c is None or w < best_c[0]:
+                best_c = (w, float(gap_ub), float(pfeas), float(dfeas))
+        _, gap_ub, pfeas, dfeas = best_c
+        rec = {
+            "iteration": iteration_total,
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "gap_ub": float(gap_ub),
+            "primal_feas": float(pfeas),
+            "dual_feas": float(dfeas),
+            "repaired": len(cands) > 1,
+            "gamma": g_now,
+            "dual_objective": float(res.dual_objective),
+        }
+        history.append(rec)
+        worst = max(rec["gap_ub"], rec["primal_feas"], rec["dual_feas"])
+        if worst < best["worst"]:
+            best["worst"] = worst
+            best["at"] = rec
+        for tol in TOLS:
+            if tol not in crossings and worst <= tol:
+                crossings[tol] = rec
+        return worst
+
+    for g_now, stage_cap, max_step, restart in MIPLIB_STAGES:
+        if total_iters >= max_iter or min(TOLS) in crossings:
+            break
+        stage_budget = min(stage_cap, max_iter - total_iters)
+        base = total_iters
+        stage_best = float("inf")
+        state = {"stalled": 0}
+
+        def stop(it, dual_val, _g=g_now, _base=base):
+            nonlocal stage_best
+            worst = check(_base + it, dual_val, _g)
+            if worst < stage_best * 0.995:
+                stage_best = worst
+                state["stalled"] = 0
+            else:
+                state["stalled"] += 1
+            # end the stage at its certificate floor or once a finer tol
+            # than the next stage could need is certified
+            return state["stalled"] >= 36 or min(TOLS) in crossings
+
+        solver = AcceleratedGradientDescent(
+            max_iter=stage_budget,
+            gamma=g_now,
+            initial_step_size=1e-5,
+            max_step_size=max_step,
+            restart=restart,
+            stop_condition=stop,
+            stop_check_every=check_every,
+        )
+        res = solver.maximize(obj, lam)
+        lam = jnp.asarray(res.dual_val)
+        total_iters += len(res.dual_objective_log)
+
+    total = time.perf_counter() - t0
+    entry = {
+        "workload": "miplib_v150d30-2hopcds",
+        "kind": "pdlp_certificate",
+        "dtype": "float64" if f64 else "float32",
+        "m": int(m),
+        "n": int(np.asarray(args.c).shape[0]),
+        "max_iter": max_iter,
+        "check_every": check_every,
+        "stages": [list(s) for s in MIPLIB_STAGES],
+        "iterations_run": total_iters,
+        "total_wall_s": round(total, 2),
+        "final_dual_objective": history[-1]["dual_objective"] if history else None,
+        "time_to_tol": {
+            f"{tol:g}": {
+                "iterations": crossings[tol]["iteration"],
+                "wall_s": crossings[tol]["wall_s"],
+                "gamma": crossings[tol]["gamma"],
+            }
+            if tol in crossings
+            else None
+            for tol in TOLS
+        },
+        "best_certified": best.get("at"),
+        "final_check": history[-1] if history else None,
+    }
+    _append(entry)
+
+
+def run_matching_proxy(num_sources: int, max_iter: int, window: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualip_tpu.objectives.matching import MatchingSolverDualObjectiveFunction
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from generate_synthetic_data import generate_synthetic_matching_input_args
+
+    args = generate_synthetic_matching_input_args(num_sources, 10_000, 1e-3, seed=42)
+    obj = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    solver = AcceleratedGradientDescent(
+        max_iter=max_iter, gamma=1e-3, initial_step_size=1e-3, max_step_size=1e-1
+    )
+    t0 = time.perf_counter()
+    res = solver.maximize(obj, jnp.zeros(10_000, jnp.float32))
+    total = time.perf_counter() - t0
+    log = np.asarray(res.dual_objective_log, dtype=np.float64)
+    per_iter = total / max_iter
+    crossings = {}
+    for tol in TOLS:
+        idx = None
+        for k in range(window, len(log)):
+            if abs(log[k] - log[k - window]) / (1.0 + abs(log[k])) <= tol:
+                idx = k + 1
+                break
+        crossings[f"{tol:g}"] = (
+            {"iterations": idx, "wall_s": round(idx * per_iter, 2)} if idx else None
+        )
+    entry = {
+        "workload": f"matching_synthetic_{num_sources}x10000",
+        "kind": "dual_plateau_proxy",
+        "note": (
+            "per-entity simplex polytopes admit no PDLP reduced-cost primal "
+            "recovery; proxy = relative dual-objective plateau over a "
+            f"{window}-iteration window (NOT a certificate)"
+        ),
+        "nnz": int(args.A.nnz),
+        "max_iter": max_iter,
+        "window": window,
+        "total_wall_s": round(total, 2),
+        "ms_per_iter": round(1000 * per_iter, 2),
+        "final_dual_objective": float(res.dual_objective),
+        "time_to_tol": crossings,
+    }
+    _append(entry)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--miplib", action="store_true")
+    ap.add_argument("--matching-proxy", action="store_true")
+    ap.add_argument("--max-iter", type=int, default=400000)
+    ap.add_argument("--check-every", type=int, default=1000)
+    ap.add_argument("--f32", action="store_true", help="solve/certify in float32 (default float64)")
+    ap.add_argument("--sources", type=int, default=250_000)
+    ap.add_argument("--proxy-window", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+    if args.miplib and not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    if args.miplib:
+        run_miplib(args.max_iter, args.check_every, f64=not args.f32)
+    if args.matching_proxy:
+        run_matching_proxy(args.sources, min(args.max_iter, 2000), args.proxy_window)
+    if not (args.miplib or args.matching_proxy):
+        sys.exit("pass --miplib and/or --matching-proxy")
+
+
+if __name__ == "__main__":
+    main()

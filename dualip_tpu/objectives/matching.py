@@ -62,6 +62,43 @@ class MatchingInputArgs(BaseInputArgs):
     equality_mask: Optional[np.ndarray] = None
 
 
+def _layout_extra(compact: bool, batching: bool, n_shards: int) -> str:
+    """Cache-key discriminator for every layout-affecting option.
+
+    batching changes bucket boundaries (and so the whole layout); compact
+    revs at /g2 (BP padded to 8); the shard count changes every forced
+    shape.  Must stay in lockstep with what the constructor builds."""
+    extra = f"compact={compact}/batching={batching}"
+    if compact:
+        extra += "/g2"
+    if n_shards > 1:
+        extra += f"/shards={n_shards}"
+    return extra
+
+
+def matching_tile_cache_key(
+    matching_input_args,
+    n_shards: int = 1,
+    pallas_block_k: int = 1024,
+    dtype=np.float32,
+    compact: bool = False,
+    batching: bool = True,
+    tile_cache_key=None,
+) -> str:
+    """The device-ready tile-cache key the objective constructor computes for
+    the butterfly layout with these options — for EXTERNAL cache builders
+    (``dualip_tpu/io/streaming_build.py``, the canonical prime) that must
+    publish under the exact key a later solve will look up."""
+    from dualip_tpu.io import tile_cache as _tc
+
+    args = matching_input_args
+    pad = max(1, n_shards) * max(pallas_block_k, 128)
+    return _tc.compute_cache_key(
+        args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
+        extra=_layout_extra(compact, batching, max(1, n_shards)),
+    )
+
+
 def calc_grad(dual_grad: Array, dual_obj: Array, dual_val: Array, b_vec: Array, reg_penalty: Array):
     """Finalize: grad -= b; obj += reg + λ·grad (reference ``matching.py:25-34``)."""
     dual_grad = dual_grad - b_vec
@@ -433,20 +470,9 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         ):
             from dualip_tpu.io import tile_cache as _tc
 
-            # batching changes bucket boundaries (and so the whole layout);
-            # it must be part of the key or a hit serves the wrong geometry.
-            # The shard count changes every forced shape — key it too.
-            _extra = f"compact={compact}/batching={batching}"
-            if compact:
-                # /g2: compact geometry revision (BP padded to 8) — revs the
-                # key so stale compact entries miss without invalidating
-                # plain ones
-                _extra += "/g2"
-            if _n_shards_cache > 1:
-                _extra += f"/shards={_n_shards_cache}"
             _key = _tc.compute_cache_key(
                 args.A, args.c, args.projection_map, pad, dtype, tile_cache_key,
-                extra=_extra,
+                extra=_layout_extra(compact, batching, _n_shards_cache),
             )
             self.tile_cache_key = _key  # exposed for prime/bench marker plumbing
             _loaded = _tc.load_butterfly_state(

@@ -406,7 +406,6 @@ def compare(fairness: bool) -> int:
         "max_rel_err": float(rel.max()),
         "tail_max_rel_err": float(tail.max()),
         "checkpoints": checkpoints,
-        "pass_final_1e-6": bool(final_rel < 1e-6),
         "pass_tail_2e-4": bool(tail.max() < 2e-4),
     }
     if fairness:
@@ -431,20 +430,42 @@ def compare(fairness: bool) -> int:
                 with np.load(cpath) as d:
                     controls[ctag] = abs(float(d["final"]) - ref_final) / abs(ref_final)
         if controls:
-            sens = max(controls.values())
             summary["reference_self_sensitivity"] = controls
-            summary["pass_final_within_sensitivity"] = bool(
-                final_rel <= max(1e-6, 1.5 * sens)
-            )
+    # Headline gate — ONE stated criterion whose pass/fail is self-consistent
+    # with the recorded numbers (round-3 verdict item 8).  Plain proxy:
+    # final relative error <= 1e-6 (trajectory is stable there — measured
+    # 3.9e-7).  Fairness posing: the binding fairness rows ride a
+    # near-degenerate dual direction, so the reference's own final moves by
+    # ~3e-6 under a 1e-7 cold-start perturbation (the _eps control above);
+    # the meaningful criterion is therefore final rel err within 1.5x the
+    # reference's own measured self-sensitivity (floored at 1e-6).
+    if fairness and summary.get("reference_self_sensitivity"):
+        sens = max(summary["reference_self_sensitivity"].values())
+        thr = max(1e-6, 1.5 * sens)
+        summary["headline_gate"] = {
+            "criterion": (
+                "final_rel_err <= max(1e-6, 1.5 * reference_self_sensitivity) "
+                "(sensitivity-bounded: the reference's own final shifts by "
+                "reference_self_sensitivity under a 1e-7 cold-start "
+                "perturbation, so no implementation can be held to a tighter "
+                "final tolerance than its own trajectory noise)"
+            ),
+            "threshold": thr,
+            "final_rel_err": final_rel,
+            "pass": bool(final_rel <= thr),
+        }
+    else:
+        summary["headline_gate"] = {
+            "criterion": "final_rel_err <= 1e-6",
+            "threshold": 1e-6,
+            "final_rel_err": final_rel,
+            "pass": bool(final_rel < 1e-6),
+        }
     p["summary"].write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary, indent=2))
-    ok = summary["pass_final_1e-6"] and summary["pass_tail_2e-4"]
+    ok = summary["headline_gate"]["pass"] and summary["pass_tail_2e-4"]
     if fairness:
-        ok = (
-            summary.get("pass_final_within_sensitivity", summary["pass_final_1e-6"])
-            and summary["pass_tail_2e-4"]
-            and summary["fairness_dual_nonzero"]
-        )
+        ok = ok and summary["fairness_dual_nonzero"]
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -245,13 +245,15 @@ def _run_canonical(canon, budget_s, t_start):
 
 def _run_canonical_inner(canon, budget_s, t_start):
     ns, nd, sp, seed = canon["num_sources"], canon["num_dests"], canon["sparsity"], canon["seed"]
-    n_small = int(os.environ.get("DUALIP_BENCH_CANON_SMALL", 200))
+    n_small = int(os.environ.get("DUALIP_BENCH_CANON_SMALL", 100))
     n_big = int(os.environ.get("DUALIP_BENCH_CANON_BIG", 1100))
 
     def remaining():
         return budget_s - (time.perf_counter() - t_start)
 
-    # Warm staging is 25-60 s; a quiet-window small child is ~250-350 s wall.
+    # Warm staging is 25-110 s; 100 iters keeps the small child inside its
+    # timeout even in a ~2.4 s/iter contended window (launch_chunk shares one
+    # compiled 100-iteration program with the big child).
     r_small = _run_child(
         ns, nd, sp, n_small, seed, timeout_s=max(120, int(min(700, remaining() - 60)))
     )

@@ -281,6 +281,9 @@ def stream_build_sharded_cache(
         rl = build_row_layout(
             shard_bcsc, method="butterfly", plan_cache_dir=plan_cache_dir,
             _forced=forced, compact=compact,
+            # arrays + plan-file references are all that get persisted; the
+            # in-memory plan would cost 2 unpacked (S, N) copies per shard
+            materialize_plan=False,
         )
         plan_files.append(rl.plan_cache_path)
         if specs_meta is None:

@@ -201,7 +201,12 @@ jax.tree_util.register_pytree_node(
 
 
 def build_row_layout(
-    bcsc, method: str = "gather", plan_cache_dir=None, _forced=None, compact: bool = False
+    bcsc,
+    method: str = "gather",
+    plan_cache_dir=None,
+    _forced=None,
+    compact: bool = False,
+    materialize_plan: bool = True,
 ) -> RowLayout:
     """Build the row-major companion of a (host-side) BlockCSC.
 
@@ -476,7 +481,16 @@ def build_row_layout(
                     n_out=packed[3],
                 )
                 tmp.replace(cache_path)  # atomic: no corrupt cache on interrupt
-        if use_tpu_kernel:
+        if not materialize_plan:
+            # Cache-builder mode (dualip_tpu/io/streaming_build.py): the
+            # caller persists arrays + the plan-cache FILE reference and
+            # never applies the plan in this process — materializing it
+            # here costs up to 2 unpacked (S, N) int8 copies (30 GB/shard
+            # at N=2²⁸), the round-4 streaming build's RSS hog.
+            if cache_path is None:
+                raise ValueError("materialize_plan=False requires plan_cache_dir")
+            plan = None
+        elif use_tpu_kernel:
             # Split straight from the bit-planes into the coarse/fine form
             # the kernel streams (packing inside the iteration loop would
             # copy the 100 MB-GB-scale mask array on every application; and

@@ -255,6 +255,16 @@ class AcceleratedGradientDescent:
         self._jit_cache = {}
         self.collect_stats = False
         self.last_run_stats = None
+        # Per-chunk wall clocks (benchmark protocol, bench.py): when set with
+        # launch_chunk > 0, each chunk is terminated by a device→host fetch of
+        # one scalar (``block_until_ready`` is a NO-OP on tunneled PJRT pools,
+        # so a fetch is the only honest completion signal) and its wall time
+        # recorded in ``chunk_walls`` as (iterations, seconds).  The fetch can
+        # force argument re-staging on the next launch, so each wall is an
+        # honest UPPER bound on that chunk's per-iteration cost — the min over
+        # chunks samples the quietest sub-window inside one solve.
+        self.collect_chunk_walls = False
+        self.chunk_walls: List[tuple] = []
 
     def _default_iteration_callback(self, iteration: int, objective_result: ObjectiveResult) -> None:
         try:
@@ -438,13 +448,17 @@ class AcceleratedGradientDescent:
         deferred: List[_Metrics] = []
         last_observed_row = None  # last fetched metrics row (observing mode)
 
+        self.chunk_walls = []
         pos = 0
         while pos < self.max_iter:
             size = min(chunk, self.max_iter - pos)
-            t0 = time.perf_counter() if _timing else 0.0
+            t0 = time.perf_counter() if (_timing or self.collect_chunk_walls) else 0.0
             carry, metrics = run_chunk(
                 params, carry, it_all[pos : pos + size], beta_all[pos : pos + size]
             )
+            if self.collect_chunk_walls:
+                jax.device_get(carry.gamma)  # fetch-terminated: forces chunk completion
+                self.chunk_walls.append((size, time.perf_counter() - t0))
             if _timing:
                 jax.block_until_ready(carry)
                 print(f"[timing] chunk pos={pos} size={size}: {time.perf_counter()-t0:.3f}s")

@@ -258,6 +258,137 @@ def run_miplib(max_iter: int, check_every: int, f64: bool):
     _append(entry)
 
 
+# Matching ladder: (gamma, stage iteration cap).  Same warm-started
+# continuation mechanism as MIPLIB_STAGES; the exact certificate floors at
+# the ridge bias O(gamma*||x||^2) per stage, so each stage runs until its
+# certificate stalls, then gamma drops 4x.
+MATCHING_STAGES = ((1e-3, 2_000), (2.5e-4, 4_000), (6.25e-5, 8_000))
+
+
+def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout=None):
+    """Time-to-EXACT-certified-gap on the synthetic matching workload
+    (VERDICT r4 #2): replaces the round-4 dual-plateau proxy with the true
+    sandwich ``MatchingSolverDualObjectiveFunction.exact_certificate`` —
+    closed-form unregularized dual bound + coupling-row-repaired primal.
+    Tolerances are on the PDLP-normalized relative gap |p−d|/(1+|p|+|d|).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dualip_tpu.optimizers.agd import AcceleratedGradientDescent
+    from generate_synthetic_data import generate_synthetic_matching_input_args
+
+    import os
+
+    import bench
+
+    args = generate_synthetic_matching_input_args(num_sources, 10_000, 1e-3, seed=42)
+    if layout is None:
+        layout = "butterfly" if jax.default_backend() == "tpu" else "csc"
+    compact = os.environ.get("DUALIP_BENCH_COMPACT") == "1" and layout == "butterfly"
+    m = 10_000
+
+    # One objective serves every gamma stage (gamma flows through the solver
+    # into calculate_traceable / exact_certificate); the bench construction
+    # reuses the plan + device-ready tile caches, so the canonical-scale run
+    # stages instead of rebuilding.
+    obj = bench.build_bench_objective(args, num_sources, 10_000, 1e-3, 42, layout=layout)
+
+    crossings = {}
+    history = []
+    best = {"gap_rel": float("inf")}
+    lam = jnp.zeros(m, jnp.float32)
+    total_iters = 0
+    t0 = time.perf_counter()
+
+    for g_now, stage_cap in MATCHING_STAGES:
+        if total_iters >= max_iter or min(TOLS) in crossings:
+            break
+        stage_budget = min(stage_cap, max_iter - total_iters)
+        base = total_iters
+        state = {"stalled": 0, "stage_best": float("inf")}
+
+        def stop(it, dual_val, _obj=obj, _g=g_now, _base=base):
+            cert = _obj.exact_certificate(dual_val, gamma=_g)
+            rec = {
+                "iteration": _base + it,
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "gamma": _g,
+                **{k: cert[k] for k in ("primal_ub", "dual_lb", "gap_abs", "gap_rel")},
+            }
+            history.append(rec)
+            if cert["gap_rel"] < best["gap_rel"]:
+                best.update(gap_rel=cert["gap_rel"], at=rec)
+            for tol in TOLS:
+                if tol not in crossings and cert["gap_rel"] <= tol:
+                    crossings[tol] = rec
+            if cert["gap_rel"] < state["stage_best"] * 0.995:
+                state["stage_best"] = cert["gap_rel"]
+                state["stalled"] = 0
+            else:
+                state["stalled"] += 1
+            return state["stalled"] >= 8 or min(TOLS) in crossings
+
+        solver = AcceleratedGradientDescent(
+            max_iter=stage_budget,
+            gamma=g_now,
+            initial_step_size=1e-3,
+            max_step_size=1e-1,
+            stop_condition=stop,
+            stop_check_every=check_every,
+            launch_chunk=int(os.environ.get("DUALIP_BENCH_LAUNCH_CHUNK", "0")),
+        )
+        res = solver.maximize(obj, lam)
+        lam = jnp.asarray(np.asarray(res.dual_val))
+        total_iters += len(res.dual_objective_log)
+
+    entry = {
+        "workload": f"matching_synthetic_{num_sources}x10000",
+        "kind": "exact_gap",
+        "note": (
+            "TRUE certificate: exact unregularized dual bound g0 (closed-form "
+            "over simplex blocks) + feasible primal via coupling-row repair "
+            "(MatchingSolverDualObjectiveFunction.exact_certificate); "
+            "tolerances on the PDLP-normalized relative gap"
+        ),
+        "layout": layout + ("/compact" if compact else ""),
+        "backend": jax.default_backend(),
+        "nnz": int(args.A.nnz),
+        "max_iter": max_iter,
+        "check_every": check_every,
+        "stages": [list(s) for s in MATCHING_STAGES],
+        "iterations_run": total_iters,
+        "total_wall_s": round(time.perf_counter() - t0, 2),
+        "time_to_tol": {
+            f"{tol:g}": {
+                "iterations": crossings[tol]["iteration"],
+                "wall_s": crossings[tol]["wall_s"],
+                "gamma": crossings[tol]["gamma"],
+            }
+            if tol in crossings
+            else None
+            for tol in TOLS
+        },
+        "best_certified": best.get("at"),
+        "final_check": history[-1] if history else None,
+    }
+    # the exact certificate supersedes the round-4 plateau proxy for this
+    # workload — drop the proxy entry when the real thing lands
+    if RESULTS.exists():
+        data = json.loads(RESULTS.read_text())
+        data = [
+            e
+            for e in data
+            if not (
+                e.get("workload") == entry["workload"]
+                and e.get("kind") in ("dual_plateau_proxy", "exact_gap")
+            )
+        ]
+        RESULTS.write_text(json.dumps(data, indent=1))
+    _append(entry)
+
+
 def run_matching_proxy(num_sources: int, max_iter: int, window: int):
     import jax.numpy as jnp
     import numpy as np
@@ -309,6 +440,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--miplib", action="store_true")
+    ap.add_argument("--matching-exact", action="store_true")
+    ap.add_argument("--layout", default=None, help="matching-exact layout (default: per-backend)")
     ap.add_argument("--matching-proxy", action="store_true")
     ap.add_argument("--max-iter", type=int, default=400000)
     ap.add_argument("--check-every", type=int, default=1000)
@@ -325,10 +458,14 @@ def main():
 
     if args.miplib:
         run_miplib(args.max_iter, args.check_every, f64=not args.f32)
+    if args.matching_exact:
+        run_matching_exact(
+            args.sources, args.max_iter, min(args.check_every, 200), layout=args.layout
+        )
     if args.matching_proxy:
         run_matching_proxy(args.sources, min(args.max_iter, 2000), args.proxy_window)
-    if not (args.miplib or args.matching_proxy):
-        sys.exit("pass --miplib and/or --matching-proxy")
+    if not (args.miplib or args.matching_proxy or args.matching_exact):
+        sys.exit("pass --miplib, --matching-exact and/or --matching-proxy")
 
 
 if __name__ == "__main__":

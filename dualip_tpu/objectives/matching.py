@@ -356,6 +356,115 @@ def matching_local_parts(
     return grad, dual_obj, reg, xs
 
 
+def matching_exact_cert_csc(bcsc: BlockCSC, dual_val: Array, gamma) -> Tuple[Array, Array, Array]:
+    """Shard-local pieces of the EXACT matching certificate (csc tiles).
+
+    Returns ``(term, cxrow, ax)`` where ``term = Σ_i radius_i·max(0, max_k
+    z_ik)`` (so the exact unregularized dual bound is ``g₀(λ) = −λᵀb −
+    γ·term``), ``cxrow[r] = Σ_{ik∈row r} c_ik·x̂_ik`` and ``ax = A x̂`` for
+    the γ-subproblem primal x̂.  Padding slots enter z as zeros, which the
+    ``max(0, ·)`` clamp absorbs exactly (a simplex always admits x = 0).
+    """
+    dtype = dual_val.dtype
+    neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
+    scaled = neg_inv_gamma * dual_val
+    m = bcsc.m
+    term = jnp.zeros((), dtype=dtype)
+    ax = jnp.zeros(m, dtype=dtype)
+    cxrow = jnp.zeros(m, dtype=dtype)
+    for tile, spec in zip(bcsc.tiles, bcsc.specs):
+        z = tile.a * scaled[tile.rows] + neg_inv_gamma * tile.c
+        radius = jnp.asarray(dict(spec.proj_params).get("z", 1.0), dtype)
+        term = term + radius * jnp.sum(jnp.maximum(jnp.max(z, axis=1), 0.0))
+        x = spec.projection()(z)
+        x = jnp.where(tile_valid_mask(tile, spec.L), x, jnp.zeros((), dtype=dtype))
+        rows_flat = tile.rows.reshape(-1).astype(jnp.int32)
+        ax = ax + jax.ops.segment_sum((tile.a * x).reshape(-1), rows_flat, num_segments=m)
+        cxrow = cxrow + jax.ops.segment_sum((tile.c * x).reshape(-1), rows_flat, num_segments=m)
+    return term, cxrow, ax
+
+
+def matching_exact_cert_rowmajor(
+    bcsc: BlockCSC, rl, dual_val: Array, gamma
+) -> Tuple[Array, Array, Array]:
+    """Exact-certificate pieces through the butterfly layout (plain or
+    compact packing) — same contract as ``matching_exact_cert_csc``.
+
+    One forward srow carry + the panel z/projection pass (pure jnp — the
+    certificate is a rare check, not the hot loop) + TWO reverse carries
+    (a·x̂ for ``ax``, c·x̂ for ``cxrow``).  Certificates always run the
+    carry in the dual's dtype regardless of the hot path's narrow
+    ``carry_dtype``.
+    """
+    if rl.plan is None:
+        raise ValueError("exact certificate on the row layout needs the butterfly plan")
+    from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu
+    from dualip_tpu.ops.pallas_matching import _project_block
+
+    dtype = dual_val.dtype
+    neg_inv_gamma = jnp.asarray(-1.0, dtype) / jnp.asarray(gamma, dtype)
+    scaled = neg_inv_gamma * dual_val
+
+    def carry(vec, reverse, truncate=True):
+        if rl.use_tpu_kernel:
+            return apply_butterfly_tpu(rl.plan, vec, reverse=reverse, truncate=truncate)
+        return apply_butterfly(rl.plan, vec, reverse=reverse, truncate=truncate)
+
+    srow_parts = []
+    for rt, (R, Lr) in zip(rl.row_tiles, rl.row_shapes):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
+        s = jnp.where(lane < rt.length[:, None], scaled[rt.row_ids][:, None], jnp.zeros((), dtype))
+        srow_parts.append(s.reshape(-1))
+    buf = carry(jnp.concatenate(srow_parts), reverse=False, truncate=False)
+
+    term = jnp.zeros((), dtype=dtype)
+    pieces_u, pieces_w = [], []  # (region_off, flat panel-layout values)
+    packs = rl.col_pack if rl.col_pack is not None else (None,) * len(rl.col_tiles_T)
+    for pt, spec, off, pk in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets, packs):
+        kind, params = spec.proj_type, dict(spec.proj_params)
+        radius = jnp.asarray(params.get("z", 1.0), dtype)
+        a_p = pt.a.astype(dtype)
+        c_p = pt.c.astype(dtype)
+        if pk is None:
+            KP, L, C = a_p.shape
+            L2 = (1 << max(L - 1, 0).bit_length()) if L > 1 else 1
+            region = buf[off : off + KP * L2 * C].reshape(KP, L2, C).astype(dtype)
+            z = a_p * region[:, :L, :] + neg_inv_gamma * c_p
+            term = term + radius * jnp.sum(jnp.maximum(jnp.max(z, axis=1), 0.0))
+            x = _project_block(z, kind, params, pt.length, L, axis=1)
+        else:
+            L, L2, q = pk
+            BP, QL, C = a_p.shape
+            region = buf[off : off + BP * L2 * C].reshape(BP, L2, C).astype(dtype)
+            z = a_p * region[:, :QL, :] + neg_inv_gamma * c_p
+            z4 = z.reshape(BP, q, L, C)
+            term = term + radius * jnp.sum(jnp.maximum(jnp.max(z4, axis=2), 0.0))
+            x = _project_block(
+                z4, kind, params, pt.length[:, :, None, :], L, axis=2
+            ).reshape(BP, QL, C)
+
+        def ghost_pad(v):
+            if L2 > v.shape[1]:
+                v = jnp.pad(v, ((0, 0), (0, L2 - v.shape[1]), (0, 0)))
+            return v.reshape(-1)
+
+        pieces_u.append((off, ghost_pad(a_p * x)))
+        pieces_w.append((off, ghost_pad(c_p * x)))
+
+    def back_to_rows(pieces):
+        parts = [p for _, p in sorted(pieces, key=lambda t: t[0])]
+        vec_row = carry(jnp.concatenate(parts), reverse=True)
+        sums, offr = [], 0
+        for R, Lr in rl.row_shapes:
+            blk = vec_row[offr : offr + R * Lr].reshape(R, Lr)
+            offr += R * Lr
+            sums.append(jnp.sum(blk, axis=1, dtype=dtype))
+        cat = jnp.concatenate(sums + [jnp.zeros(1, dtype=dtype)])
+        return cat[rl.row_pos]
+
+    return term, back_to_rows(pieces_w), back_to_rows(pieces_u)
+
+
 def _finalize(grad, dual_obj, reg, dual_val, b_vec) -> ObjectiveResult:
     grad, dual_obj = calc_grad(grad, dual_obj, dual_val, b_vec, reg)
     dual_val_times_grad = jnp.dot(dual_val, grad)
@@ -806,6 +915,81 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             xs_kl.append(x)
         res.primal_var = tiles_values_to_flat(self.bcsc, xs_kl)
         return res
+
+    def exact_certificate(self, dual_val: Array, gamma: Optional[float] = None) -> dict:
+        """TRUE certified optimality gap for the matching LP (VERDICT r4 #2).
+
+        The reference defines a convergence certificate only for its
+        general-LP objective (reference ``miplib.py:156-230``, box polytopes);
+        its benchmarked matching workload (reference ``benchmark/
+        config.py:9-19``) never gets one.  For per-entity simplex-inequality
+        polytopes both sides are closed-form, so this computes, in O(nnz):
+
+        * **exact dual lower bound** (weak duality, λ ≥ 0): a linear program
+          over the simplex {x ≥ 0, Σx ≤ radius} attains its minimum at a
+          vertex or at 0, so ``g₀(λ) = −λᵀb + Σ_i radius_i·min(0, min_k
+          r_ik)`` with reduced costs ``r = c + Aᵀλ``; in the solver's scaled
+          variables ``r = −γ·z``, giving ``g₀ = −λᵀb − γ·Σ_i radius_i·
+          max(0, max_k z_ik)``.
+        * **feasible primal upper bound**: the γ-subproblem primal x̂ is
+          per-entity feasible by construction; each nonzero belongs to
+          exactly one coupling row, so scaling every nonzero of a violated
+          row r by ``s_r = b_r / (A x̂)_r ≤ 1`` yields ``A x̂' ≤ b`` exactly
+          while keeping each column inside its simplex (requires A ≥ 0 and
+          b > 0, both true of the matching workload by construction:
+          reference ``generate_synthetic_data.py:95-141``).
+
+        Certified gap = ``c·x̂' − g₀(λ) ≥ opt-gap`` of BOTH bounds.  Returns
+        a dict of floats: ``primal_ub``, ``dual_lb``, ``gap_abs``,
+        ``gap_rel`` (PDLP normalization |p−d|/(1+|p|+|d|)), and
+        ``max_row_violation`` (pre-repair, diagnostic).
+        """
+        if self.b_vec is None:
+            raise ValueError("exact_certificate needs the finalized objective (b_vec)")
+        if self.mesh is not None:
+            raise NotImplementedError("exact_certificate runs on a single mesh device")
+        if self.equality_mask is not None:
+            raise NotImplementedError(
+                "exact_certificate covers inequality rows only (the scaling "
+                "repair cannot restore equality rows)"
+            )
+        kinds = {spec.proj_type for spec in self.bcsc.specs}
+        if kinds - {"simplex"}:
+            raise NotImplementedError(
+                f"exact_certificate supports simplex-inequality polytopes only "
+                f"(got {sorted(kinds)}); box polytopes are covered by the "
+                f"general-LP PDLP certificate (objectives/miplib.py)"
+            )
+        g = self.gamma if gamma is None else gamma
+        if not isinstance(g, jax.Array):
+            g = jnp.asarray(np.float32(g))
+        fn = self._jit_cache.get("exact_cert")
+        if fn is None:
+
+            @jax.jit
+            def fn(params, dv, gg):
+                bcsc, b_vec, row_layout = params
+                dv = jnp.maximum(dv, 0.0)  # weak duality needs λ ≥ 0
+                if row_layout is not None and row_layout.plan is not None:
+                    term, cxrow, ax = matching_exact_cert_rowmajor(bcsc, row_layout, dv, gg)
+                else:  # csc layout, or gather-mode row layout (col tiles kept)
+                    term, cxrow, ax = matching_exact_cert_csc(bcsc, dv, gg)
+                s = jnp.where(ax > b_vec, b_vec / ax, jnp.ones((), dtype=ax.dtype))
+                primal_ub = jnp.dot(s, cxrow)
+                dual_lb = -jnp.dot(dv, b_vec) - gg * term
+                return primal_ub, dual_lb, jnp.max(ax - b_vec)
+
+            self._jit_cache["exact_cert"] = fn
+        p, d, viol = jax.device_get(fn(self.params, jnp.asarray(dual_val), g))
+        p, d = float(p), float(d)
+        gap = p - d
+        return {
+            "primal_ub": p,
+            "dual_lb": d,
+            "gap_abs": gap,
+            "gap_rel": gap / (1.0 + abs(p) + abs(d)),
+            "max_row_violation": float(viol),
+        }
 
 
 class MatchingSolverDualObjectiveFunctionDistributed(MatchingSolverDualObjectiveFunction):

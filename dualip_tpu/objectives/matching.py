@@ -465,6 +465,26 @@ def matching_exact_cert_rowmajor(
     return term, back_to_rows(pieces_w), back_to_rows(pieces_u)
 
 
+def _panel_x_to_kl(x_np: np.ndarray, K: int, pk, n_shards: int = 1) -> np.ndarray:
+    """Re-layout a want_x panel output to the (K, L) column-tile form.
+
+    Plain panels arrive as (K//128, L, 128) — per-shard panels concatenate to
+    exactly the global panel order, so the mesh case needs no special
+    handling.  Compact panels arrive as (BP, q·L, 128) per shard with
+    per-shard shortfall padding rows (``rowmajor._col_geometry``), so each
+    shard's block is unstacked to its real (pr_d, L, 128) panels first."""
+    if pk is None:
+        return x_np.transpose(0, 2, 1).reshape(-1, x_np.shape[1])
+    L, _L2, q = pk
+    Kd = K // n_shards
+    prd = Kd // 128
+    BPd = x_np.shape[0] // n_shards
+    parts = [
+        x_np[s * BPd : (s + 1) * BPd].reshape(-1, L, 128)[:prd] for s in range(n_shards)
+    ]
+    return np.concatenate(parts).transpose(0, 2, 1).reshape(K, L)
+
+
 def _finalize(grad, dual_obj, reg, dual_val, b_vec) -> ObjectiveResult:
     grad, dual_obj = calc_grad(grad, dual_obj, dual_val, b_vec, reg)
     dual_val_times_grad = jnp.dot(dual_val, grad)
@@ -853,17 +873,12 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                 self._jit_cache["calc"] = fn
             return fn(self.params, dual_val, g)
 
-        # --- save_primal: supported on EVERY single-mesh layout (the
-        # reference returned x from its one hot path, matching.py:155-162;
-        # the fast layouts here emit x as an extra kernel output on demand
-        # and scatter it back to flat CSC order via the host flat-index map).
-        if self.mesh is not None and (self.row_layout is not None or self.use_pallas):
-            raise NotImplementedError(
-                "save_primal on a mesh is supported for the csc layout only "
-                "(the butterfly/pallas shard_map pipelines do not emit x; "
-                "reference parity baseline: unsupported in distributed mode at "
-                "all, matching.py:255-256)"
-            )
+        # --- save_primal: supported on EVERY layout, single-device AND
+        # mesh-sharded (the reference returned x from its one hot path,
+        # matching.py:155-162, and raised in distributed mode,
+        # matching.py:255-256; the fast layouts here emit x as an extra
+        # kernel output on demand — per shard under shard_map — and scatter
+        # it back to flat CSC order via the host flat-index map).
         if any(spec.flat_idx is None for spec in self.bcsc.specs):
             raise NotImplementedError(
                 "save_primal needs the flat CSC index map; build the objective "
@@ -875,21 +890,85 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
             block_k = self.pallas_block_k
             carry_dtype = self.carry_dtype
             interpret = jax.default_backend() != "tpu"
+            mesh = self.mesh
+
+            def _local(bcsc, row_layout, dv, gg):
+                if row_layout is not None:
+                    return matching_local_parts_rowmajor(
+                        bcsc, row_layout, dv, gg, block_k=block_k,
+                        carry_dtype=carry_dtype, want_primal=True,
+                    )
+                if use_pallas:
+                    return matching_local_parts_pallas(
+                        bcsc, dv, gg, block_k, interpret=interpret, want_primal=True
+                    )
+                return matching_local_parts(bcsc, dv, gg, want_primal=True)
 
             @jax.jit
             def run(params, dv, gg):
                 bcsc, b_vec, row_layout = params
-                if row_layout is not None:
-                    grad, dual_obj, reg, xs = matching_local_parts_rowmajor(
-                        bcsc, row_layout, dv, gg, block_k=block_k,
-                        carry_dtype=carry_dtype, want_primal=True,
-                    )
-                elif use_pallas:
-                    grad, dual_obj, reg, xs = matching_local_parts_pallas(
-                        bcsc, dv, gg, block_k, interpret=interpret, want_primal=True
-                    )
+                if mesh is not None and (row_layout is not None or use_pallas):
+                    # Mesh fast layouts: the same shard_map pipelines as the
+                    # hot path, with per-shard x as extra outputs — plain
+                    # panels concatenate along the shard axis straight into
+                    # global panel order; (grad, obj, reg) psum as usual.
+                    from jax.sharding import PartitionSpec as P
+
+                    axis = mesh.axis_names[0]
+                    if row_layout is not None:
+                        rl_specs = jax.tree.map(
+                            lambda x: P(axis, *([None] * (x.ndim - 1))), row_layout
+                        )
+
+                        def local_parts(rl_stacked, dvv, gg2):
+                            rl_local = jax.tree.map(lambda x: x[0], rl_stacked)
+                            lgrad, lobj, lreg, xs = _local(bcsc, rl_local, dvv, gg2)
+                            return (
+                                jax.lax.psum(lgrad, axis),
+                                jax.lax.psum(lobj, axis),
+                                jax.lax.psum(lreg, axis),
+                                tuple(xs),
+                            )
+
+                        x_specs = tuple(P(axis) for _ in self.bcsc.specs)
+                        grad, dual_obj, reg, xs = jax.shard_map(
+                            local_parts,
+                            mesh=mesh,
+                            in_specs=(rl_specs, P(), P()),
+                            out_specs=(P(), P(), P(), x_specs),
+                            check_vma=False,
+                        )(row_layout, dv, gg)
+                    else:
+                        from dualip_tpu.sparse.bcsc import Tile
+
+                        tile_specs = [
+                            Tile(rows=P(None, axis), a=P(None, axis), c=P(None, axis),
+                                 length=P(axis), col_ids=P(axis))
+                            for _ in bcsc.tiles
+                        ]
+                        specs, mm, nn, nnz = bcsc.specs, bcsc.m, bcsc.n, bcsc.nnz
+
+                        def local_parts(tiles, dvv, gg2):
+                            local = BlockCSC(tiles=list(tiles), specs=specs, m=mm, n=nn, nnz=nnz)
+                            lgrad, lobj, lreg, xs = _local(local, None, dvv, gg2)
+                            return (
+                                jax.lax.psum(lgrad, axis),
+                                jax.lax.psum(lobj, axis),
+                                jax.lax.psum(lreg, axis),
+                                tuple(xs),
+                            )
+
+                        x_specs = tuple(P(None, axis) for _ in bcsc.tiles)  # (L, K) tiles
+                        grad, dual_obj, reg, xs = jax.shard_map(
+                            local_parts,
+                            mesh=mesh,
+                            in_specs=(tile_specs, P(), P()),
+                            out_specs=(P(), P(), P(), x_specs),
+                            check_vma=False,
+                        )(bcsc.tiles, dv, gg)
+                    xs = list(xs)
                 else:
-                    grad, dual_obj, reg, xs = matching_local_parts(bcsc, dv, gg, want_primal=True)
+                    grad, dual_obj, reg, xs = _local(bcsc, row_layout, dv, gg)
                 primal_obj = dual_obj  # c·x before finalization (reference matching.py:160-161)
                 if b_vec is not None:
                     res = _finalize(grad, dual_obj, reg, dv, b_vec)
@@ -904,12 +983,17 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         # Re-layout each tile's x to the (K, L) column-tile form, then scatter
         # to a flat CSC-ordered nnz vector, like the reference's
         # intermediate.values() (reference matching.py:156-162).
+        n_shards = int(np.prod(self.mesh.devices.shape)) if self.mesh is not None else 1
+        packs = (
+            self.row_layout.col_pack
+            if (self.layout == "butterfly" and self.compact)
+            else (None,) * len(self.bcsc.specs)
+        )
         xs_kl = []
-        for x in xs:
+        for x, spec, pk in zip(xs, self.bcsc.specs, packs):
             x = np.asarray(x)
             if self.layout == "butterfly":
-                # panel form (K//128, L, 128) -> (K, L)
-                x = x.transpose(0, 2, 1).reshape(-1, x.shape[1])
+                x = _panel_x_to_kl(x, spec.K, pk, n_shards=n_shards)
             elif self.use_pallas:
                 x = x.T  # (L, K) transposed-tile form
             xs_kl.append(x)

@@ -117,10 +117,31 @@ class _ColShardedSparseOps:
     elementwise projections (box / cone / identity) may span shards freely.
     A joint projection (simplex family — couples its coordinates through a
     sum constraint) must live entirely inside one shard: padding would
-    change its value, so a spanning joint entry raises at construction.
+    change its value, so the column split SNAPS to joint-entry hull
+    boundaries (shards go slightly uneven instead of raising — VERDICT r4
+    #8; each shard is padded to the widest shard so SPMD keeps one program).
+    Only a joint entry whose hull is wider than the whole problem-per-shard
+    budget can still fail, and that raises with the offending entry named.
     """
 
     _ELEMENTWISE = ("box", "cone", "identity")
+
+    @staticmethod
+    def _snap_bounds(n: int, S: int, atoms) -> np.ndarray:
+        """Shard cut points [0, b_1, …, b_{S-1}, n] with every cut moved out
+        of any joint-entry hull (atoms = merged, sorted (lo, hi) half-open
+        intervals).  Even split when no atom is in the way."""
+        bounds = [0]
+        for s in range(1, S):
+            t = round(s * n / S)
+            t = max(t, bounds[-1])
+            for lo, hi in atoms:
+                if lo < t < hi:  # inside a hull: snap to the nearer edge
+                    t = lo if (t - lo) <= (hi - t) else hi
+                    break
+            bounds.append(max(t, bounds[-1]))
+        bounds.append(n)
+        return np.asarray(bounds, dtype=np.int64)
 
     def __init__(self, A: CSCMatrix, c: np.ndarray, projection_map, dtype, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -130,16 +151,33 @@ class _ColShardedSparseOps:
         self.axis = mesh.axis_names[0]
         m, n = A.shape
         S = int(np.prod(mesh.devices.shape))
-        n_local = -(-n // S)
-        self.n_local, self.n_shards = n_local, S
         sh = NamedSharding(mesh, P(self.axis))
         self._rep = NamedSharding(mesh, P())
+
+        # Joint-entry hulls (interval span of each coupling entry's indices),
+        # merged where overlapping; shard cuts snap to their boundaries.
+        hulls = []
+        for key, entry in projection_map.items():
+            idx = np.asarray(entry.indices, dtype=np.int64)
+            if idx.size and entry.proj_type not in self._ELEMENTWISE:
+                hulls.append((int(idx.min()), int(idx.max()) + 1))
+        hulls.sort()
+        atoms = []
+        for lo, hi in hulls:
+            if atoms and lo < atoms[-1][1]:
+                atoms[-1] = (atoms[-1][0], max(atoms[-1][1], hi))
+            else:
+                atoms.append((lo, hi))
+        bounds = self._snap_bounds(n, S, atoms)
+        widths = np.diff(bounds)
+        n_local = max(int(widths.max()), 1)
+        self.n_local, self.n_shards = n_local, S
+        self._bounds = bounds
 
         col_ids = csc_col_ids(A)
         rows_l, cols_l, vals_l = [], [], []
         for s in range(S):
-            c0 = min(s * n_local, n)
-            c1 = min(c0 + n_local, n)
+            c0, c1 = int(bounds[s]), int(bounds[s + 1])
             lo, hi = int(A.indptr[c0]), int(A.indptr[c1])
             rows_l.append(A.row_indices[lo:hi].astype(np.int32))
             cols_l.append((col_ids[lo:hi] - c0).astype(np.int32))
@@ -157,9 +195,17 @@ class _ColShardedSparseOps:
         self.cols = jax.device_put(jnp.asarray(_stack(cols_l, 0, np.int32)), sh)
         self.vals = jax.device_put(jnp.asarray(_stack(vals_l, 0, dtype)), sh)
 
-        c_pad = np.zeros(S * n_local, dtype=dtype)
-        c_pad[:n] = np.asarray(c, dtype=dtype)
-        self.c_sh = jax.device_put(jnp.asarray(c_pad.reshape(S, n_local)), sh)
+        c_pad = np.zeros((S, n_local), dtype=dtype)
+        for s in range(S):
+            c_pad[s, : widths[s]] = np.asarray(c[bounds[s] : bounds[s + 1]], dtype=dtype)
+        self.c_sh = jax.device_put(jnp.asarray(c_pad), sh)
+        # per-shard global column start (rare-path matvec) and the flat
+        # positions of real (non-padding) columns in the (S, n_local) packing
+        self._c0_sh = jax.device_put(jnp.asarray(bounds[:-1].astype(np.int32)), sh)
+        unpad = np.concatenate(
+            [s * n_local + np.arange(widths[s], dtype=np.int64) for s in range(S)]
+        )
+        self._unpad_idx = jnp.asarray(unpad.astype(np.int32))
 
         # Per-entry shard-local index blocks (S, Lmax); sentinel = n_local.
         self._proj_idx, self._proj_fns = [], []
@@ -168,17 +214,17 @@ class _ColShardedSparseOps:
             if idx.size == 0:
                 continue
             per_shard = [
-                idx[(idx >= s * n_local) & (idx < min((s + 1) * n_local, n))] - s * n_local
+                idx[(idx >= bounds[s]) & (idx < bounds[s + 1])] - bounds[s]
                 for s in range(S)
             ]
             joint = entry.proj_type not in self._ELEMENTWISE
             if joint and sum(1 for p in per_shard if p.size) > 1:
                 raise ValueError(
                     f"projection entry {key!r} ({entry.proj_type}) couples its "
-                    f"coordinates but spans multiple column shards; joint "
-                    f"entries must fit inside one shard of {n_local} columns "
-                    f"(use fewer devices or the matching objective's "
-                    f"entity-block sharding for per-entity polytopes)"
+                    f"coordinates over an index hull too wide to fit any "
+                    f"snapped column shard (n={n}, {S} shards); use fewer "
+                    f"devices or the matching objective's entity-block "
+                    f"sharding for per-entity polytopes"
                 )
             l_max = max(max(p.size for p in per_shard), 1)
             blk = np.full((S, l_max), n_local, dtype=np.int32)
@@ -225,26 +271,27 @@ class _ColShardedSparseOps:
 
     def gather_primal(self, x_sh: Array) -> Array:
         """(S, n_local) shard-local primal → global (n,) (all-gather; used
-        only on demand — save_primal / certificate — never per iteration)."""
-        return x_sh.reshape(-1)[: self.shape[1]]
+        only on demand — save_primal / certificate — never per iteration).
+        ``_unpad_idx`` drops each shard's padding tail (shards are uneven
+        after boundary snapping)."""
+        return x_sh.reshape(-1)[self._unpad_idx]
 
     # -- rare-path matvecs (PDLP certificate, row norms) --------------------
     def matvec(self, x: Array) -> Array:
         from jax.sharding import PartitionSpec as P
 
-        axis, n_local, m = self.axis, self.n_local, self.shape[0]
+        axis, m = self.axis, self.shape[0]
 
-        def body(rows, cols, vals, x):
-            c0 = jax.lax.axis_index(axis) * n_local
+        def body(rows, cols, vals, c0s, x):
             part = jax.ops.segment_sum(
-                vals[0] * x[cols[0] + c0], rows[0], num_segments=m
+                vals[0] * x[cols[0] + c0s[0]], rows[0], num_segments=m
             )
             return jax.lax.psum(part, axis)
 
         return jax.shard_map(
             body, mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P(),
-        )(self.rows, self.cols, self.vals, x)
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()), out_specs=P(),
+        )(self.rows, self.cols, self.vals, self._c0_sh, x)
 
     def rmatvec(self, y: Array) -> Array:
         from jax.sharding import PartitionSpec as P
@@ -260,7 +307,7 @@ class _ColShardedSparseOps:
             body, mesh=self.mesh,
             in_specs=(P(axis), P(axis), P(axis), P()), out_specs=P(axis),
         )(self.rows, self.cols, self.vals, y)
-        return out[: self.shape[1]]
+        return out[self._unpad_idx]
 
     def row_norms(self) -> np.ndarray:
         return row_norms_csc(self._host)

@@ -362,8 +362,6 @@ def fused_panel_project(
         L, L2, q = pack
         if QL != q * L:
             raise ValueError(f"packed tile shape {a_p.shape} vs pack {pack}")
-        if want_x:
-            raise NotImplementedError("save_primal on the compact packing")
     else:
         L, q = QL, 1
         # L2 (the region's lane stride): ghost lanes exist only in the buffer.
@@ -392,8 +390,11 @@ def fused_panel_project(
         jax.ShapeDtypeStruct((1, 1), jnp.float32),
     ]
     tile_spec = lambda blk_l: pl.BlockSpec((bp, blk_l, C), lambda j: (j, 0, 0), memory_space=pltpu.VMEM)  # noqa: E731
-    x_specs = [tile_spec(L)] if want_x else []
-    x_shapes = [jax.ShapeDtypeStruct((KP, L, C), jnp.float32)] if want_x else []
+    # want_x emits the projected x in the tile's OWN panel form — (KP, L, C)
+    # plain, (KP, q·L, C) on the compact packing (the caller unstacks the q
+    # segments host-side; see matching.py::_panel_x_to_kl).
+    x_specs = [tile_spec(QL)] if want_x else []
+    x_shapes = [jax.ShapeDtypeStruct((KP, QL, C), jnp.float32)] if want_x else []
     scal = jnp.asarray(neg_inv_gamma, jnp.float32).reshape(1)
     scal_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 

@@ -89,6 +89,65 @@ def test_sharded_jacobi_and_certificate():
     assert bounds_sharded[4] == bounds_single[4]
 
 
+def test_joint_entry_spanning_even_split_snaps_and_solves():
+    """A simplex (joint) entry straddling the even n/S column boundary no
+    longer raises (VERDICT r4 #8): shard cuts snap to the entry's hull and
+    the uneven-shard solve matches single-device."""
+    from dualip_tpu.projections.base import ProjectionEntry
+
+    m, n, S = 12, 40, 8  # even split would cut every 5 columns
+    rng = np.random.default_rng(13)
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    A[rng.random(size=(m, n)) < 0.5] = 0.0
+    A[:, 0] = np.where(A[:, 0] == 0, 0.5, A[:, 0])
+    c = rng.normal(size=n).astype(np.float32)
+    b = np.abs(rng.normal(size=m)).astype(np.float32) + 0.5
+    pm = {
+        "blk": ProjectionEntry("simplex", {"z": 1.0}, np.arange(3, 8)),  # spans cut at 5
+        "blk2": ProjectionEntry("simplex", {"z": 1.0}, np.arange(33, 39)),  # spans cut at 35
+        "rest": ProjectionEntry(
+            "box", {"l": 0.0, "u": 1.0}, np.concatenate([np.arange(0, 3), np.arange(8, 33), np.arange(39, 40)])
+        ),
+    }
+    args = MIPLIBInputArgs(A=csc_from_dense(A), c=c, projection_map=pm, b_vec=b)
+    lam = jnp.asarray(np.abs(np.random.default_rng(14).normal(size=m)).astype(np.float32))
+
+    single = MIPLIB2017ObjectiveFunction(args)
+    sharded = MIPLIB2017ObjectiveFunction(args, mesh=default_mesh(S))
+    bounds = sharded.ops._bounds
+    assert not any(3 < b_ < 8 for b_ in bounds) and not any(33 < b_ < 39 for b_ in bounds)
+
+    a = single.calculate(lam, gamma=1e-2, save_primal=True)
+    b_ = sharded.calculate(lam, gamma=1e-2, save_primal=True)
+    np.testing.assert_allclose(np.asarray(a.dual_gradient), np.asarray(b_.dual_gradient), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.primal_var), np.asarray(b_.primal_var), atol=1e-5)
+    assert np.isclose(float(a.dual_objective), float(b_.dual_objective), rtol=1e-6, atol=1e-5)
+
+    # rare-path matvecs honor the snapped (uneven) shard packing
+    x = jnp.asarray(rng.normal(size=n).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded.ops.matvec(x)), A @ np.asarray(x), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.ops.rmatvec(lam)), A.T @ np.asarray(lam), atol=1e-4
+    )
+
+
+def test_snap_bounds_unit():
+    from dualip_tpu.objectives.miplib import _ColShardedSparseOps
+
+    snap = _ColShardedSparseOps._snap_bounds
+    # no atoms: even split
+    assert list(snap(40, 8, [])) == [0, 5, 10, 15, 20, 25, 30, 35, 40]
+    # atom straddling a cut snaps to the nearer edge (ties break low)
+    assert list(snap(40, 8, [(4, 6)])) == [0, 4, 10, 15, 20, 25, 30, 35, 40]
+    assert list(snap(40, 8, [(13, 16)])) == [0, 5, 10, 16, 20, 25, 30, 35, 40]
+    # giant atom: cuts collapse to its edges (empty shards, still monotone)
+    bb = list(snap(40, 8, [(0, 30)]))
+    assert bb[0] == 0 and bb[-1] == 40 and all(x <= y for x, y in zip(bb, bb[1:]))
+    assert not any(0 < x < 30 for x in bb)
+
+
 def test_sharded_via_run_solver():
     """compute_device_num > 1 routes the miplib2017 path onto a mesh."""
     from dualip_tpu import run_solver

@@ -287,6 +287,60 @@ def test_butterfly_bf16_tiles_close_to_fp32(carry):
     assert np.isclose(float(r1.dual_objective), float(r2.dual_objective), rtol=4e-2)
 
 
+@pytest.mark.parametrize("variant", ["butterfly", "butterfly_compact", "pallas"])
+def test_save_primal_on_mesh_fast_layouts(variant):
+    """save_primal on the mesh-sharded butterfly / compact / pallas layouts
+    (VERDICT r4 #7): per-shard x emitted under shard_map, scattered back via
+    the global flat-index map; parity with the single-device csc primal.
+    Reference baseline: unsupported in distributed mode at all
+    (reference matching.py:255-256)."""
+    from dualip_tpu.parallel.mesh import default_mesh
+
+    rng = np.random.default_rng(21)
+    m, n = 16, 300
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_ref = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    kw = (
+        dict(use_pallas=True, pallas_block_k=64)
+        if variant == "pallas"
+        else dict(layout="butterfly", compact=variant.endswith("compact"), pallas_block_k=128)
+    )
+    o_mesh = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, mesh=default_mesh(), **kw)
+    lam = jnp.asarray(np.abs(np.random.default_rng(5).normal(size=m)).astype(np.float32))
+    r_ref = o_ref.calculate(lam, save_primal=True)
+    r = o_mesh.calculate(lam, save_primal=True)
+    x_ref, x = np.asarray(r_ref.primal_var), np.asarray(r.primal_var)
+    assert x.shape == (A.nnz,)
+    # compact regroups lane sums -> saturated simplex columns differ at
+    # reassociation level (see test_save_primal_on_compact_single_device)
+    atol = 1e-4 if variant.endswith("compact") else 2e-5
+    assert np.allclose(x, x_ref, atol=atol), np.abs(x - x_ref).max()
+    assert np.isclose(float(r.primal_objective), float(r_ref.primal_objective), rtol=1e-5, atol=1e-4)
+    g1, g2 = np.asarray(r_ref.dual_gradient), np.asarray(r.dual_gradient)
+    assert np.allclose(g1, g2, atol=2e-5 * max(1.0, np.abs(g1).max()))
+
+
+def test_save_primal_on_compact_single_device():
+    """save_primal through the single-device compact packing (the kernel's
+    want_x on q>1 packs, previously NotImplementedError)."""
+    rng = np.random.default_rng(22)
+    m, n = 20, 260
+    A, C, b = _random_problem(rng, m, n)
+    pm = create_projection_map("simplex", {"z": 1.0}, n)
+    args = MatchingInputArgs(A=A, c=C, projection_map=pm, b_vec=b)
+    o_ref = MatchingSolverDualObjectiveFunction(args, gamma=1e-3)
+    o_c = MatchingSolverDualObjectiveFunction(args, gamma=1e-3, layout="butterfly", compact=True)
+    lam = jnp.asarray(np.abs(np.random.default_rng(6).normal(size=m)).astype(np.float32))
+    r_ref = o_ref.calculate(lam, save_primal=True)
+    r = o_c.calculate(lam, save_primal=True)
+    # compact regroups the bisection's lane sums (q segments per buffer row),
+    # so saturated simplex columns land within reassociation tolerance, not
+    # bit-exact (observed 3e-5 on sum≈1 columns)
+    assert np.allclose(np.asarray(r.primal_var), np.asarray(r_ref.primal_var), atol=1e-4)
+
+
 def test_save_primal_on_csc_mesh():
     """save_primal works on the mesh-sharded csc objective (beyond the
     reference, which raises in distributed mode, matching.py:255-256)."""

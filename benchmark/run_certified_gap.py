@@ -173,6 +173,15 @@ def run_miplib(max_iter: int, check_every: int, f64: bool):
         rep = _repair(res.primal_var)
         if rep is not None:
             cands.append(rep)
+            # Convex blends raw→repaired: pfeas is linear in x (Ax − b) and
+            # vanishes at the repaired end, while the repair's objective cost
+            # grows linearly — the best worst-metric sits at an interior θ
+            # whenever the raw candidate's pfeas is its binding term (the
+            # round-4 floor: pfeas 1.2e-4 vs gap 3.3e-5).  Each blend is
+            # certified through the same PDLP bound — no approximation.
+            x0 = cands[0]
+            for theta in (0.125, 0.25, 0.375, 0.5, 0.75):
+                cands.append((1.0 - theta) * x0 + theta * rep)
         best_c = None
         for xc in cands:
             gap_ub, _, pfeas, dfeas, _ = obj.calculate_convergence_bound(
@@ -261,14 +270,30 @@ def run_miplib(max_iter: int, check_every: int, f64: bool):
         "best_certified": best.get("at"),
         "final_check": history[-1] if history else None,
     }
+    # a rerun supersedes prior entries for the same workload+kind
+    if RESULTS.exists():
+        data = json.loads(RESULTS.read_text())
+        data = [
+            e
+            for e in data
+            if not (
+                e.get("workload") == entry["workload"]
+                and e.get("kind") == entry["kind"]
+            )
+        ]
+        RESULTS.write_text(json.dumps(data, indent=1))
     _append(entry)
 
 
 # Matching ladder: (gamma, stage iteration cap).  Same warm-started
 # continuation mechanism as MIPLIB_STAGES; the exact certificate floors at
 # the ridge bias O(gamma*||x||^2) per stage, so each stage runs until its
-# certificate stalls, then gamma drops 4x.
-MATCHING_STAGES = ((1e-3, 2_000), (2.5e-4, 4_000), (6.25e-5, 8_000))
+# certificate stalls, then gamma drops 4x.  Caps sized from the measured
+# round-5 CPU run (best 1.78e-2 at 5,600 iters, still descending when the
+# 8-check stall rule fired): the deep stages need the dual to RE-converge at
+# each new gamma — budget scales ~1/gamma — so this ladder is TPU-sized
+# (CPU at ~220 ms/iter would take hours; pass --platform tpu).
+MATCHING_STAGES = ((1e-3, 2_000), (2.5e-4, 10_000), (6.25e-5, 40_000), (1.5625e-5, 80_000))
 
 
 def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout=None):
@@ -334,7 +359,7 @@ def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout
                 state["stalled"] = 0
             else:
                 state["stalled"] += 1
-            return state["stalled"] >= 8 or min(TOLS) in crossings
+            return state["stalled"] >= 20 or min(TOLS) in crossings
 
         solver = AcceleratedGradientDescent(
             max_iter=stage_budget,

@@ -53,7 +53,9 @@ sys.path.insert(0, str(HERE))
 sys.path.insert(0, str(HERE / "benchmark"))
 
 
-def build_bench_objective(args, num_sources, num_dests, sparsity, seed, layout=None):
+def build_bench_objective(
+    args, num_sources, num_dests, sparsity, seed, layout=None, keep_flat_idx=False
+):
     """Construct the benchmark objective exactly as a bench child does.
 
     Shared with ``benchmark/run_canonical_scale.py --prime-tile-cache`` so a
@@ -81,7 +83,10 @@ def build_bench_objective(args, num_sources, num_dests, sparsity, seed, layout=N
     return MatchingSolverDualObjectiveFunction(
         args,
         gamma=1e-3,
-        keep_flat_idx=False,
+        # True only for certificate runs that need save_primal (fetching x̂
+        # for ergodic averaging); it bypasses the tile cache, so bench
+        # children keep the default False.
+        keep_flat_idx=keep_flat_idx,
         use_pallas=os.environ.get("DUALIP_BENCH_PALLAS") == "1",
         layout=layout,
         keep_col_tiles=False,  # butterfly path never reads them; saves 12 B/nnz HBM

@@ -181,6 +181,19 @@ def generate_synthetic_matching_input_args(
             with np.load(path) as data:
                 arrays = tuple(data[k] for k in keys)
 
+    if arrays is None and backend == "native-stream" and use_cache and rng is None:
+        # Streaming C++ generator: writes the memmap cache tier directly with
+        # O(num_sources) process RSS (two regenerated-stream passes; see
+        # io/native_loader.generate_matching_stream_native).  Its RNG stream
+        # differs from both the numpy and buffered-native backends; the cache
+        # key embeds the backend tag, so entries never mix.
+        from dualip_tpu.io.native_loader import generate_matching_stream_native
+
+        arrays = generate_matching_stream_native(
+            num_sources, num_destinations, target_sparsity, seed=seed or 0,
+            mm_dir=mm_dir, dtype=dtype,
+        )
+
     if arrays is None:
         if backend == "native" and rng is None:
             # C++ data-plane: O(E) counting-sort assembly, multithreaded

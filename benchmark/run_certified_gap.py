@@ -288,20 +288,40 @@ def run_miplib(max_iter: int, check_every: int, f64: bool):
 # Matching ladder: (gamma, stage iteration cap).  Same warm-started
 # continuation mechanism as MIPLIB_STAGES; the exact certificate floors at
 # the ridge bias O(gamma*||x||^2) per stage, so each stage runs until its
-# certificate stalls, then gamma drops 4x.  Caps sized from the measured
-# round-5 CPU run (best 1.78e-2 at 5,600 iters, still descending when the
-# 8-check stall rule fired): the deep stages need the dual to RE-converge at
-# each new gamma — budget scales ~1/gamma — so this ladder is TPU-sized
-# (CPU at ~220 ms/iter would take hours; pass --platform tpu).
-MATCHING_STAGES = ((1e-3, 2_000), (2.5e-4, 10_000), (6.25e-5, 40_000), (1.5625e-5, 80_000))
+# certificate stalls, then gamma drops 4x.  The dual's smoothness constant
+# scales 1/gamma, so each 4x drop needs ~4x the budget to RE-converge — the
+# deep stages dominate.  TPU-sized (measured: ~2.5 ms/iter at the 2.5M probe
+# including a certificate check every 200 iterations — a quiet-window 400k-
+# iteration ladder is ~17 min; CPU at ~220 ms/iter would take a day).
+MATCHING_STAGES = (
+    (1e-3, 3_000),
+    (2.5e-4, 20_000),
+    (6.25e-5, 90_000),
+    (1.5625e-5, 320_000),
+    (3.9e-6, 600_000),
+)
 
 
-def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout=None):
+def run_matching_exact(
+    num_sources: int, max_iter: int, check_every: int, layout=None, average=True
+):
     """Time-to-EXACT-certified-gap on the synthetic matching workload
     (VERDICT r4 #2): replaces the round-4 dual-plateau proxy with the true
     sandwich ``MatchingSolverDualObjectiveFunction.exact_certificate`` —
     closed-form unregularized dual bound + coupling-row-repaired primal.
     Tolerances are on the PDLP-normalized relative gap |p−d|/(1+|p|+|d|).
+
+    ``average=True`` additionally certifies the per-stage ERGODIC AVERAGES:
+    individual γ-subproblem primals at small γ are near-vertex solutions that
+    oscillate (their coupling-row repair costs O(1) objective), but their
+    running mean converges to the optimal fractional solution with vanishing
+    violations — the standard dual-decomposition primal-recovery result.
+    x̄ stays per-entity feasible (each simplex block is convex), so the same
+    exact row-scaling repair applies, computed here on the host in float64.
+    λ̄ gets a g₀ evaluation too (g₀ is concave: g₀(λ̄) ≥ mean g₀).  Both
+    averages reset at each γ stage.  Needs save_primal, which bypasses the
+    tile cache — pass ``average=False`` for canonical-scale runs that must
+    stage from the primed cache.
     """
     import jax
     import jax.numpy as jnp
@@ -324,11 +344,32 @@ def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout
     # into calculate_traceable / exact_certificate); the bench construction
     # reuses the plan + device-ready tile caches, so the canonical-scale run
     # stages instead of rebuilding.
-    obj = bench.build_bench_objective(args, num_sources, 10_000, 1e-3, 42, layout=layout)
+    obj = bench.build_bench_objective(
+        args, num_sources, 10_000, 1e-3, 42, layout=layout, keep_flat_idx=average
+    )
+
+    # Host-side exact repair of an explicit primal (float64): every edge
+    # belongs to one coupling row, so scaling a violated row r by b_r/(Ax)_r
+    # restores Ax ≤ b exactly while keeping each entity inside its simplex.
+    a_np = np.asarray(args.A.data, dtype=np.float64)
+    c_np = np.asarray(args.c.data, dtype=np.float64)  # minimization costs
+    rows_np = np.asarray(args.A.row_indices, dtype=np.int64)
+    b_np = np.asarray(args.b_vec, dtype=np.float64)
+
+    def certify_primal(x):
+        ax = np.bincount(rows_np, weights=a_np * x, minlength=m)
+        cx = np.bincount(rows_np, weights=c_np * x, minlength=m)
+        s = np.where(ax > b_np, b_np / np.maximum(ax, 1e-300), 1.0)
+        return float(np.minimum(s, 1.0) @ cx)
 
     crossings = {}
     history = []
     best = {"gap_rel": float("inf")}
+    # Running sandwich: primal_ub and dual_lb each bound OPT independently of
+    # the iterate that produced them, so the certified gap at any point in
+    # time is (min primal_ub seen) − (max dual_lb seen) — strictly tighter
+    # than any single check, and still a TRUE certificate.
+    sandwich = {"primal_ub": float("inf"), "dual_lb": float("-inf")}
     lam = jnp.zeros(m, jnp.float32)
     total_iters = 0
     t0 = time.perf_counter()
@@ -339,27 +380,52 @@ def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout
         stage_budget = min(stage_cap, max_iter - total_iters)
         base = total_iters
         state = {"stalled": 0, "stage_best": float("inf")}
+        avg = {"xsum": None, "lsum": np.zeros(m, np.float64), "k": 0}
 
-        def stop(it, dual_val, _obj=obj, _g=g_now, _base=base):
+        def stop(it, dual_val, _obj=obj, _g=g_now, _base=base, _avg=avg):
             cert = _obj.exact_certificate(dual_val, gamma=_g)
+            sandwich["primal_ub"] = min(sandwich["primal_ub"], cert["primal_ub"])
+            sandwich["dual_lb"] = max(sandwich["dual_lb"], cert["dual_lb"])
+            rec_avg = {}
+            if average:
+                res = _obj.calculate(jnp.asarray(dual_val), gamma=_g, save_primal=True)
+                x = np.asarray(res.primal_var, dtype=np.float64)
+                _avg["xsum"] = x if _avg["xsum"] is None else _avg["xsum"] + x
+                _avg["lsum"] += np.asarray(dual_val, dtype=np.float64)
+                _avg["k"] += 1
+                p_avg = certify_primal(_avg["xsum"] / _avg["k"])
+                d_avg = _obj.exact_certificate(
+                    jnp.asarray((_avg["lsum"] / _avg["k"]).astype(np.float32)),
+                    gamma=_g,
+                )["dual_lb"]
+                sandwich["primal_ub"] = min(sandwich["primal_ub"], p_avg)
+                sandwich["dual_lb"] = max(sandwich["dual_lb"], d_avg)
+                rec_avg = {"primal_ub_avg": p_avg, "dual_lb_avg": d_avg}
+            p, d = sandwich["primal_ub"], sandwich["dual_lb"]
+            sand_rel = (p - d) / (1.0 + abs(p) + abs(d))
             rec = {
                 "iteration": _base + it,
                 "wall_s": round(time.perf_counter() - t0, 2),
                 "gamma": _g,
                 **{k: cert[k] for k in ("primal_ub", "dual_lb", "gap_abs", "gap_rel")},
+                **rec_avg,
+                "sandwich_gap_rel": sand_rel,
             }
             history.append(rec)
-            if cert["gap_rel"] < best["gap_rel"]:
-                best.update(gap_rel=cert["gap_rel"], at=rec)
+            if sand_rel < best["gap_rel"]:
+                best.update(gap_rel=sand_rel, at=rec)
             for tol in TOLS:
-                if tol not in crossings and cert["gap_rel"] <= tol:
+                if tol not in crossings and sand_rel <= tol:
                     crossings[tol] = rec
-            if cert["gap_rel"] < state["stage_best"] * 0.995:
-                state["stage_best"] = cert["gap_rel"]
+            # Patient stall rule: deep-γ stages improve slowly but steadily
+            # (dual smoothness ∝ 1/γ) — a 0.5%-per-check bar ended stages
+            # thousands of iterations before their certificate floor.
+            if sand_rel < state["stage_best"] * 0.999:
+                state["stage_best"] = sand_rel
                 state["stalled"] = 0
             else:
                 state["stalled"] += 1
-            return state["stalled"] >= 20 or min(TOLS) in crossings
+            return state["stalled"] >= 60 or min(TOLS) in crossings
 
         solver = AcceleratedGradientDescent(
             max_iter=stage_budget,
@@ -381,8 +447,17 @@ def run_matching_exact(num_sources: int, max_iter: int, check_every: int, layout
             "TRUE certificate: exact unregularized dual bound g0 (closed-form "
             "over simplex blocks) + feasible primal via coupling-row repair "
             "(MatchingSolverDualObjectiveFunction.exact_certificate); "
-            "tolerances on the PDLP-normalized relative gap"
+            "tolerances on the PDLP-normalized relative gap of the running "
+            "sandwich (min primal_ub seen, max dual_lb seen — each bound "
+            "holds independently, so the pair is still a true certificate)"
+            + (
+                "; per-stage ergodic averages x̄/λ̄ certified alongside the "
+                "raw iterates (dual-decomposition primal recovery)"
+                if average
+                else ""
+            )
         ),
+        "averaged": average,
         "layout": layout + ("/compact" if compact else ""),
         "backend": jax.default_backend(),
         "nnz": int(args.A.nnz),
@@ -472,6 +547,11 @@ def main():
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--miplib", action="store_true")
     ap.add_argument("--matching-exact", action="store_true")
+    ap.add_argument(
+        "--no-average",
+        action="store_true",
+        help="skip ergodic-average certification (keeps the tile-cache fast path)",
+    )
     ap.add_argument("--layout", default=None, help="matching-exact layout (default: per-backend)")
     ap.add_argument("--matching-proxy", action="store_true")
     ap.add_argument("--max-iter", type=int, default=1_000_000)
@@ -483,15 +563,26 @@ def main():
 
     import jax
 
-    jax.config.update("jax_platforms", args.platform)
+    # the TPU here registers through an experimental PJRT plugin whose
+    # platform name is not "tpu" — pass --platform ambient to let JAX pick
+    # the best available backend (the TPU when one is attached)
+    if args.platform not in ("ambient", ""):
+        jax.config.update("jax_platforms", args.platform)
     if args.miplib and not args.f32:
         jax.config.update("jax_enable_x64", True)
 
     if args.miplib:
         run_miplib(args.max_iter, args.check_every, f64=not args.f32)
     if args.matching_exact:
+        # check cadence trades crossing-time granularity against per-check
+        # cost (with averaging each check also fetches x̂ device→host, which
+        # re-stages the next launch on the tunneled pool — don't over-check)
         run_matching_exact(
-            args.sources, args.max_iter, min(args.check_every, 200), layout=args.layout
+            args.sources,
+            args.max_iter,
+            args.check_every if args.no_average else min(args.check_every, 500),
+            layout=args.layout,
+            average=not args.no_average,
         )
     if args.matching_proxy:
         run_matching_proxy(args.sources, min(args.max_iter, 2000), args.proxy_window)

@@ -95,7 +95,20 @@ def load_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_int,
             ]
-            if lib.dualip_native_abi_version() != 4:
+            lib.dualip_gen_stream_create.restype = ctypes.c_void_p
+            lib.dualip_gen_stream_create.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+                ctypes.c_int,
+            ]
+            lib.dualip_gen_stream_count.restype = ctypes.c_int64
+            lib.dualip_gen_stream_count.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+            lib.dualip_gen_stream_fill.restype = None
+            lib.dualip_gen_stream_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.dualip_gen_stream_free.argtypes = [ctypes.c_void_p]
+            if lib.dualip_native_abi_version() != 5:
                 return None
         except AttributeError as e:  # incompatible / truncated .so
             print(f"dualip native library rejected: {e}")
@@ -139,6 +152,63 @@ def generate_matching_native(
     finally:
         lib.dualip_gen_free(h)
     return indptr, rows, a, c, b
+
+
+def generate_matching_stream_native(
+    num_sources: int,
+    num_destinations: int,
+    target_sparsity: float,
+    seed: int,
+    mm_dir,
+    dtype=np.float32,
+    threads: int = 0,
+    batch_edges: int = 1 << 25,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Streaming generation straight into the memmap cache dir: O(num_sources)
+    process RSS at any nnz (VERDICT r4 #4 — the buffered native generator
+    peaked at ~39 B/nnz, 97 GB at the 2.5B-nnz scaling-grid row).
+
+    Two passes over regenerated per-destination RNG streams: count (fills
+    ``ccol``) then fill (scatters rows/a/c into ``open_memmap`` arrays in
+    ascending destination order, keeping per-column rows sorted + unique, and
+    folding the greedy budget computation into the same sweep).  Values land
+    as ``dtype`` (the memmap tier's storage dtype).  Deterministic per seed,
+    independent of thread count.  Returns the memmapped (ccol, rows, a, c, b)
+    tuple, or None when the native library is unavailable.
+    """
+    from pathlib import Path
+
+    from numpy.lib.format import open_memmap
+
+    lib = load_native()
+    if lib is None or np.dtype(dtype) != np.float32:
+        return None
+    mm_dir = Path(mm_dir)
+    mm_dir.mkdir(parents=True, exist_ok=True)
+    h = lib.dualip_gen_stream_create(
+        num_sources, num_destinations, target_sparsity, seed, threads
+    )
+    try:
+        ccol = open_memmap(
+            mm_dir / "ccol.npy", mode="w+", dtype=np.int64, shape=(num_sources + 1,)
+        )
+        nnz = lib.dualip_gen_stream_count(h, _ptr(ccol))
+        np.cumsum(ccol, out=ccol)
+        rows = open_memmap(mm_dir / "rows.npy", mode="w+", dtype=np.int32, shape=(nnz,))
+        a = open_memmap(mm_dir / "a.npy", mode="w+", dtype=np.float32, shape=(nnz,))
+        c = open_memmap(mm_dir / "c.npy", mode="w+", dtype=np.float32, shape=(nnz,))
+        b64 = np.empty(num_destinations, dtype=np.float64)
+        lib.dualip_gen_stream_fill(
+            h, _ptr(ccol), _ptr(rows), _ptr(a), _ptr(c), _ptr(b64), batch_edges
+        )
+        for arr in (ccol, rows, a, c):
+            arr.flush()
+        del ccol, rows, a, c
+        np.save(mm_dir / "b.npy", b64.astype(dtype))
+    finally:
+        lib.dualip_gen_stream_free(h)
+    keys = ("ccol", "rows", "a", "c", "b")
+    return tuple(np.load(mm_dir / f"{k}.npy", mmap_mode="r") for k in keys)
 
 
 def fill_tile_native(

@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <memory>
 #include <random>
 #include <thread>
@@ -646,6 +647,240 @@ void dualip_benes_route_packed(int64_t N, const int32_t* src0,
   benes_route_impl(N, src0, MaskSinkPacked{planes_out, N}, threads, block_log2);
 }
 
-int dualip_native_abi_version() { return 4; }
+// ---------------------------------------------------------------------------
+// Streaming synthetic generator: O(num_sources) RSS at any nnz
+// ---------------------------------------------------------------------------
+//
+// The buffered generator above holds the per-destination edge lists AND the
+// assembled CSC in RAM (~39 B/nnz — 97 GB at the scaling grid's 2.5B-nnz
+// row).  The streaming variant exploits that every destination's edge list
+// comes from its own deterministic RNG stream (edge_seed ^ j*const), so the
+// edges can be REGENERATED instead of stored:
+//
+//   pass A (count): sample each destination's sources, count per-column
+//     degrees into a shared atomic array — no edge is kept;
+//   pass B (fill):  re-sample in destination batches (bounded edge count),
+//     then scatter each batch serially in ascending destination order
+//     straight into caller-provided (memmapped) CSC arrays; ascending-j
+//     scatter keeps rows sorted and unique within each column, and the
+//     greedy best-edge load for budgets is folded into the same sweep.
+//
+// Peak malloc'd state is O(ns): u factors + cursor + best-edge trackers
+// (~29 B/source) + one batch of edges.  Output values are written float32
+// (the memmap cache tier's dtype).  Deterministic for a given seed
+// regardless of thread count (the buffered generator's u-draws were
+// thread-chunked; here u uses a fixed 2^20 chunk).
+
+namespace {
+
+struct StreamGen {
+  int64_t ns, nd;
+  int threads;
+  std::vector<double> s, v;    // (nd) destination factors
+  std::vector<double> u;       // (ns) source affinities
+  std::vector<int64_t> deg;    // (nd) per-destination sample counts
+  uint64_t edge_seed, rho_seed;
+};
+
+// Re-derive destination j's source list (sorted, unique) from its stream.
+// The rng is left positioned after the source draws so pass B can continue
+// with the eps draws — identical to the buffered generator's draw order.
+inline void stream_sample_sources(const StreamGen* g, int64_t j,
+                                  std::mt19937_64& rng,
+                                  std::vector<int32_t>& srcs) {
+  srcs.clear();
+  int64_t k = g->deg[j];
+  if (k == 0) return;
+  rng.seed(g->edge_seed ^ (static_cast<uint64_t>(j) * 0xD1B54A32D192ED03ull));
+  std::uniform_int_distribution<int64_t> src_dist(0, g->ns - 1);
+  srcs.resize(k);
+  for (int64_t e = 0; e < k; ++e) srcs[e] = static_cast<int32_t>(src_dist(rng));
+  std::sort(srcs.begin(), srcs.end());
+  srcs.erase(std::unique(srcs.begin(), srcs.end()), srcs.end());
+}
+
+}  // namespace
+
+void* dualip_gen_stream_create(int64_t ns, int64_t nd, double target_sparsity,
+                               uint64_t seed, int threads) {
+  auto* g = new StreamGen();
+  g->ns = ns;
+  g->nd = nd;
+  g->threads = threads;
+
+  // Same master draw order as dualip_gen_create: Z/s/v interleaved per
+  // destination, u_seed, degrees, edge_seed — then the rho seed.
+  std::mt19937_64 master(seed);
+  std::lognormal_distribution<double> ln_p(0.0, 1.0), ln_s(0.0, 1.0),
+      ln_v(-4.0, 0.75);
+  std::vector<double> Z(nd);
+  double z_sum = 0.0;
+  g->s.resize(nd);
+  g->v.resize(nd);
+  for (int64_t j = 0; j < nd; ++j) {
+    Z[j] = ln_p(master);
+    g->s[j] = ln_s(master);
+    g->v[j] = ln_v(master);
+    z_sum += Z[j];
+  }
+  if (z_sum == 0.0) {
+    std::fill(Z.begin(), Z.end(), 1.0);
+    z_sum = static_cast<double>(nd);
+  }
+
+  g->u.resize(ns);
+  uint64_t u_seed = master();
+  const int64_t UCH = int64_t{1} << 20;  // fixed chunk: thread-count invariant
+  parallel_for((ns + UCH - 1) / UCH, [&](int64_t clo, int64_t chi) {
+    for (int64_t ci = clo; ci < chi; ++ci) {
+      int64_t lo = ci * UCH, hi = std::min(ns, lo + UCH);
+      std::mt19937_64 rng(u_seed ^ static_cast<uint64_t>(lo) * 0x9E3779B97F4A7C15ull);
+      std::lognormal_distribution<double> dist(0.0, 0.5);
+      for (int64_t i = lo; i < hi; ++i) g->u[i] = dist(rng);
+    }
+  }, threads, /*min_n=*/1);
+
+  const double avg_degree = target_sparsity * static_cast<double>(nd);
+  g->deg.resize(nd);
+  for (int64_t j = 0; j < nd; ++j) {
+    double expected = Z[j] / z_sum * avg_degree * static_cast<double>(ns);
+    std::poisson_distribution<int64_t> pois(expected);
+    g->deg[j] = std::min<int64_t>(pois(master), ns);
+  }
+  g->edge_seed = master();
+  g->rho_seed = master();
+  return g;
+}
+
+// Pass A: per-column degree counts into counts_out[1..ns] (counts_out[0]=0,
+// so an in-place prefix sum by the caller turns the buffer into indptr).
+// Returns total nnz.
+int64_t dualip_gen_stream_count(void* handle, int64_t* counts_out) {
+  auto* g = static_cast<StreamGen*>(handle);
+  const int64_t ns = g->ns, nd = g->nd;
+  std::unique_ptr<std::atomic<int32_t>[]> counts(new std::atomic<int32_t>[ns]);
+  parallel_for(ns, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      counts[i].store(0, std::memory_order_relaxed);
+  }, g->threads);
+
+  int nt = g->threads > 0 ? g->threads : hardware_threads();
+  std::atomic<int64_t> next_j{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([&] {
+      std::vector<int32_t> srcs;
+      std::mt19937_64 rng;
+      for (;;) {
+        int64_t j = next_j.fetch_add(1);
+        if (j >= nd) break;
+        stream_sample_sources(g, j, rng, srcs);
+        for (int32_t i : srcs)
+          counts[i].fetch_add(1, std::memory_order_relaxed);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+
+  counts_out[0] = 0;
+  int64_t nnz = 0;
+  for (int64_t i = 0; i < ns; ++i) {
+    int64_t c = counts[i].load(std::memory_order_relaxed);
+    counts_out[i + 1] = c;
+    nnz += c;
+  }
+  return nnz;
+}
+
+// Pass B: regenerate edges in destination batches of <= batch_edges samples
+// and scatter into the caller's CSC arrays (rows/a/c sized nnz; typically
+// memmaps).  indptr is the prefix-summed output of pass A.  b_out (nd,
+// float64) receives the greedy-load budgets.
+void dualip_gen_stream_fill(void* handle, const int64_t* indptr,
+                            int32_t* rows_out, float* a_out, float* c_out,
+                            double* b_out, int64_t batch_edges) {
+  auto* g = static_cast<StreamGen*>(handle);
+  const int64_t ns = g->ns, nd = g->nd;
+  if (batch_edges <= 0) batch_edges = int64_t{1} << 25;
+
+  std::vector<int64_t> cursor(indptr, indptr + ns);
+  std::vector<double> best_a(ns, -std::numeric_limits<double>::infinity());
+  std::vector<int32_t> best_dest(ns, -1);
+
+  int nt = g->threads > 0 ? g->threads : hardware_threads();
+  std::vector<std::vector<int32_t>> batch_srcs;
+  std::vector<std::vector<double>> batch_c;
+
+  int64_t j0 = 0;
+  while (j0 < nd) {
+    // batch = [j0, j1): bounded by sampled-edge count
+    int64_t j1 = j0, acc = 0;
+    while (j1 < nd && (acc == 0 || acc + g->deg[j1] <= batch_edges)) {
+      acc += g->deg[j1];
+      ++j1;
+    }
+    int64_t bsz = j1 - j0;
+    batch_srcs.resize(bsz);
+    batch_c.resize(bsz);
+
+    // parallel re-sample: each destination's stream is independent
+    std::atomic<int64_t> next{0};
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) {
+      pool.emplace_back([&] {
+        std::mt19937_64 rng;
+        for (;;) {
+          int64_t bi = next.fetch_add(1);
+          if (bi >= bsz) break;
+          int64_t j = j0 + bi;
+          auto& srcs = batch_srcs[bi];
+          stream_sample_sources(g, j, rng, srcs);
+          std::lognormal_distribution<double> ln_eps(0.0, 0.5);
+          auto& cs = batch_c[bi];
+          cs.resize(srcs.size());
+          for (size_t e = 0; e < srcs.size(); ++e)
+            cs[e] = std::min(g->v[j] * g->u[srcs[e]] * ln_eps(rng), 0.5);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+
+    // serial scatter in ascending j: rows stay sorted+unique per column,
+    // and the strict-> best-edge update keeps the FIRST max (the buffered
+    // generator's tie rule)
+    for (int64_t bi = 0; bi < bsz; ++bi) {
+      int64_t j = j0 + bi;
+      const auto& srcs = batch_srcs[bi];
+      const auto& cs = batch_c[bi];
+      for (size_t e = 0; e < srcs.size(); ++e) {
+        int32_t i = srcs[e];
+        int64_t pos = cursor[i]++;
+        rows_out[pos] = static_cast<int32_t>(j);
+        double c_ij = cs[e];
+        c_out[pos] = static_cast<float>(c_ij);
+        double a_ij = g->s[j] * c_ij;
+        a_out[pos] = static_cast<float>(a_ij);
+        if (a_ij > best_a[i]) {
+          best_a[i] = a_ij;
+          best_dest[i] = static_cast<int32_t>(j);
+        }
+      }
+    }
+    j0 = j1;
+  }
+
+  std::vector<double> loads(nd, 0.0);
+  for (int64_t i = 0; i < ns; ++i)
+    if (best_dest[i] >= 0) loads[best_dest[i]] += best_a[i];
+  std::mt19937_64 rho_rng(g->rho_seed);
+  std::uniform_real_distribution<double> rho(0.5, 1.0);
+  for (int64_t j = 0; j < nd; ++j) b_out[j] = rho(rho_rng) * (loads[j] + 1e-8);
+}
+
+void dualip_gen_stream_free(void* handle) {
+  delete static_cast<StreamGen*>(handle);
+}
+
+int dualip_native_abi_version() { return 5; }
 
 }  // extern "C"

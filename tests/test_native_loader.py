@@ -168,3 +168,65 @@ def test_native_benes_router_coarse_phase_matches_numpy():
         for blk in (4, 8, 11, 13):
             masks = nl.benes_route_native(src.astype(np.int32), block_log2=blk)
             np.testing.assert_array_equal(masks, np.asarray(p_np.masks))
+
+
+def test_stream_generator_matches_buffered_structure(tmp_path):
+    """The streaming generator regenerates the SAME per-destination RNG
+    streams as the buffered one (edge_seed ^ j*const), so the edge structure
+    (ccol, rows) is bit-identical; only the value streams differ (u uses a
+    fixed 2^20 chunk so results are thread-count invariant).  Determinism is
+    checked across thread counts and batch sizes."""
+    from dualip_tpu.io.native_loader import generate_matching_stream_native
+
+    ns, nd, sp = 5000, 200, 0.05
+    out = generate_matching_stream_native(ns, nd, sp, seed=7, mm_dir=tmp_path / "m1")
+    assert out is not None
+    ccol, rows, a, c, b = (np.asarray(x) for x in out)
+    nnz = rows.shape[0]
+
+    buf = generate_matching_native(ns, nd, sp, seed=7)
+    np.testing.assert_array_equal(ccol, buf[0])
+    np.testing.assert_array_equal(rows, buf[1])
+
+    # deterministic across threads / batch granularity
+    out2 = generate_matching_stream_native(
+        ns, nd, sp, seed=7, mm_dir=tmp_path / "m2", threads=1, batch_edges=997
+    )
+    for x, y in zip(out, out2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # CSC invariants + model sanity
+    assert ccol[0] == 0 and ccol[-1] == nnz and (np.diff(ccol) >= 0).all()
+    for i in range(ns):
+        assert (np.diff(rows[ccol[i] : ccol[i + 1]]) > 0).all()
+    assert (b > 0).all() and (c <= 0.5 + 1e-6).all()
+    # a = s_j * c with a shared per-destination factor: ratios constant per row
+    sel = c != 0
+    ratio = np.zeros_like(a)
+    ratio[sel] = a[sel] / c[sel]
+    for j in range(nd):
+        rj = ratio[sel & (rows == j)] if (sel & (rows == j)).any() else None
+        if rj is not None and rj.size:
+            np.testing.assert_allclose(rj, rj[0], rtol=1e-5)
+
+
+def test_stream_generator_end_to_end_backend(tmp_path, monkeypatch):
+    """DUALIP_GEN_BACKEND=native-stream writes the memmap tier directly and
+    round-trips through generate_synthetic_matching_input_args (warm reload
+    stays memmapped and equal)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "benchmark"))
+    from generate_synthetic_data import generate_synthetic_matching_input_args
+
+    monkeypatch.setenv("DUALIP_GEN_BACKEND", "native-stream")
+    args = generate_synthetic_matching_input_args(
+        2000, 100, 0.05, seed=3, cache_dir=str(tmp_path)
+    )
+    assert args.A.nnz > 0
+    args2 = generate_synthetic_matching_input_args(
+        2000, 100, 0.05, seed=3, cache_dir=str(tmp_path)
+    )
+    np.testing.assert_array_equal(np.asarray(args.A.data), np.asarray(args2.A.data))
+    np.testing.assert_array_equal(np.asarray(args.b_vec), np.asarray(args2.b_vec))

@@ -31,7 +31,12 @@ HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE.parent))
 sys.path.insert(0, str(HERE))
 
-RESULTS = HERE / "results" / "streaming_build.json"
+# env-overridable so test smokes don't pollute the checked-in artifact
+RESULTS = Path(
+    os.environ.get(
+        "DUALIP_STREAMBUILD_RESULTS", str(HERE / "results" / "streaming_build.json")
+    )
+)
 
 
 def _append(entry):
@@ -115,6 +120,7 @@ def main():
             raise SystemExit("generation failed")
         _append({
             "phase": "gen",
+            "backend": backend,
             "num_sources": args.sources,
             "wall_s": round(time.perf_counter() - t0, 1),
             **json.loads(line),

@@ -1,6 +1,7 @@
 """Smoke tests for the benchmark suite on tiny CPU workloads."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -159,3 +160,38 @@ def test_bench_main_mode():
     assert data["metric"] == "matching_iters_per_sec"
     assert data["unit"] == "iter/s"
     assert data["value"] > 0
+
+
+def test_streamed_gen_build_staged_solve_chain(tmp_path):
+    """native-stream generation → sharded streaming build → staged mesh solve,
+    chained through the real driver scripts (results redirected to tmp)."""
+    import json
+
+    import dualip_tpu.io.native_loader as nl
+
+    if not nl.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    env = dict(os.environ)
+    env["DUALIP_GEN_BACKEND"] = "native-stream"
+    env["DUALIP_STREAMBUILD_RESULTS"] = str(tmp_path / "results.json")
+    common = [
+        "--sources", "20000", "--dests", "100", "--sparsity", "0.05",
+        "--shards", "4", "--cache-dir", str(tmp_path / "bd"),
+    ]
+    for script, extra in (
+        ("run_streaming_build.py", []),
+        ("run_staged_mesh_solve.py", ["--iters", "5"]),
+    ):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "benchmark" / script), *common, *extra],
+            capture_output=True, text=True, timeout=600, cwd=str(REPO), env=env,
+        )
+        assert out.returncode == 0, f"{script}:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+    entries = json.loads((tmp_path / "results.json").read_text())
+    phases = [e["phase"] for e in entries]
+    assert phases == ["gen", "build", "staged_mesh_solve"]
+    assert entries[0]["backend"] == "native-stream"
+    solve = entries[-1]
+    assert solve["finite"] and solve["dual_improved"]

@@ -108,6 +108,13 @@ def build_bench_objective(
             f"{os.environ.get('DUALIP_GEN_BACKEND', 'numpy')}_{nnz}"
         ),
         compact=compact,
+        # Gather-srow: replace the per-iteration forward carry with a
+        # setup-routed small-table gather (bit-identical).  Measured 36×
+        # WORSE under XLA's TPU gather lowering (docs/performance.md traffic
+        # table) — keep OFF; the env knob exists to reproduce that
+        # measurement.
+        srow_gather=os.environ.get("DUALIP_BENCH_SROW_GATHER") == "1"
+        and layout == "butterfly",
     )
 
 

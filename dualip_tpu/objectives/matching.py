@@ -239,14 +239,28 @@ def matching_local_parts_rowmajor(
         # (−8 B/nnz HBM resident and per-iteration traffic).  Padding slots
         # must carry zeros: the bijection completion can route them into
         # column padding slots and back into the summed a·x row layout.
-        srow_parts = []
-        for rt, (R, Lr) in zip(rl.row_tiles, rl.row_shapes):
-            lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
-            s = jnp.where(
-                lane < rt.length[:, None], scaled[rt.row_ids][:, None], jnp.zeros((), dtype)
-            )
-            srow_parts.append(s.reshape(-1))
-        z_cat = jnp.concatenate(srow_parts)
+        if rl.srow_colidx is not None:
+            # Gather-srow fast path: the forward carry's action on the row-id
+            # broadcast was precomputed at setup (``RowLayout.srow_colidx``),
+            # so the (m+1)-entry scaled table (sentinel slot = 0, matching
+            # the zero-padding contract above) is gathered straight into
+            # column space — bit-identical to routing srow, at one idx read
+            # instead of 3 carry passes + the pre-side mask read per
+            # iteration (docs/performance.md traffic table).
+            table = jnp.concatenate([scaled, jnp.zeros(1, dtype)])
+            if carry_dtype is not None:
+                table = table.astype(carry_dtype)
+            buf = table[rl.srow_colidx]
+            z_cat = None
+        else:
+            srow_parts = []
+            for rt, (R, Lr) in zip(rl.row_tiles, rl.row_shapes):
+                lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
+                s = jnp.where(
+                    lane < rt.length[:, None], scaled[rt.row_ids][:, None], jnp.zeros((), dtype)
+                )
+                srow_parts.append(s.reshape(-1))
+            z_cat = jnp.concatenate(srow_parts)
     else:
         # z in row layout: the dual value is constant per sublane — no per-nnz gather.
         z_parts = [
@@ -269,9 +283,10 @@ def matching_local_parts_rowmajor(
         # re-reads HBM (see ops/pallas_matching.py::fused_panel_project).
         from dualip_tpu.ops.pallas_matching import fused_panel_project
 
-        if carry_dtype is not None:
-            z_cat = z_cat.astype(carry_dtype)  # fused into the srow-write by XLA
-        buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
+        if z_cat is not None:
+            if carry_dtype is not None:
+                z_cat = z_cat.astype(carry_dtype)  # fused into the srow-write by XLA
+            buf = carry(z_cat, reverse=False, truncate=False)  # full (N,)
         packs = rl.col_pack if rl.col_pack is not None else (None,) * len(rl.col_tiles_T)
         for pt, spec, off, pk in zip(rl.col_tiles_T, bcsc.specs, rl.col_offsets, packs):
             buf, obj_p, reg_p, *x_p = fused_panel_project(
@@ -534,6 +549,7 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         tile_cache_dir=None,
         tile_cache_key=None,
         compact: bool = False,
+        srow_gather: bool = False,
     ):
         args = matching_input_args
         self.gamma = gamma
@@ -563,6 +579,15 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
         if compact and layout != "butterfly":
             raise ValueError("compact packing is butterfly-only")
         self.compact = compact
+        if srow_gather:
+            if layout != "butterfly":
+                raise ValueError("srow_gather is a butterfly-layout knob")
+            if mesh is not None:
+                raise ValueError(
+                    "srow_gather is single-device only (the stacked sharded "
+                    "layout carries per-shard plans; route srow there)"
+                )
+        self.srow_gather = srow_gather
 
         pad = 1
         sharding = None
@@ -732,6 +757,54 @@ class MatchingSolverDualObjectiveFunction(BaseObjective):
                     _cache_save[0], _cache_save[1], self.bcsc, self.row_layout,
                     plan_file, n_shards=_n_shards_cache,
                 )
+        if srow_gather:
+            # One-time: route the row-id broadcast through the plan — the
+            # forward carry's action on ANY srow is then a gather by the
+            # routed ids (``RowLayout.srow_colidx``; bit-identical, the
+            # network does no payload arithmetic).  Ids ride fp32 through
+            # the same carry kernels the hot path uses, so this works for
+            # fresh builds AND cache-hit staged plans without touching the
+            # cache format.  Cost: one forward application at setup + an
+            # N×4 B resident index array; saves 3 HBM passes + the pre-side
+            # mask read every iteration (docs/performance.md).
+            import dataclasses as _dc
+
+            from dualip_tpu.ops.butterfly import apply_butterfly, apply_butterfly_tpu
+
+            rl = self.row_layout
+            m_rows = self.bcsc.m
+            if m_rows >= (1 << 24):
+                raise ValueError(
+                    "srow_gather routes row ids exactly through an fp32 carry; "
+                    f"m={m_rows} exceeds the 2^24 exact-integer range"
+                )
+            # BenesPlanPacked carries N; the unpacked BenesPlan's masks are (S, N)
+            N = rl.plan.N if hasattr(rl.plan, "N") else rl.plan.masks.shape[1]
+            sent = jnp.asarray(float(m_rows), jnp.float32)
+
+            def _route_ids(row_tiles):
+                parts = []
+                for rt, (R, Lr) in zip(row_tiles, rl.row_shapes):
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Lr), 1)
+                    ids = jnp.where(
+                        lane < rt.length[:, None],
+                        rt.row_ids[:, None].astype(jnp.float32),
+                        sent,
+                    )
+                    parts.append(ids.reshape(-1))
+                vec = jnp.concatenate(parts)
+                pad = N - vec.shape[0]
+                if pad:
+                    vec = jnp.concatenate([vec, jnp.full(pad, sent, jnp.float32)])
+                if rl.use_tpu_kernel:
+                    routed = apply_butterfly_tpu(rl.plan, vec, reverse=False, truncate=False)
+                else:
+                    routed = apply_butterfly(rl.plan, vec, reverse=False, truncate=False)
+                return routed.astype(jnp.int32)
+
+            self.row_layout = _dc.replace(
+                rl, srow_colidx=jax.jit(_route_ids)(rl.row_tiles)
+            )
         self._jit_cache = {}
         if args.b_vec is not None:
             b = jnp.asarray(np.asarray(args.b_vec, dtype=dtype))

@@ -172,16 +172,29 @@ class RowLayout:
     # compact packing: static per-tile (L, L2, q) — q columns of length L per
     # L2-lane buffer row (None = plain one-column-per-row panels)
     col_pack: Optional[tuple] = None
+    # gather-srow mode (butterfly only): the forward Beneš carry routes the
+    # SAME fixed permutation every iteration, so its action on the row-id
+    # broadcast is a constant — ``srow_colidx`` (N,) int32 holds, per carry-
+    # buffer slot, the constraint-row id whose scaled dual lands there
+    # (sentinel m on padding).  One small-table gather
+    # ``scaled_pad[srow_colidx]`` then replaces the whole 3-HBM-pass forward
+    # carry + its mask reads per iteration, bit-identically (the network does
+    # no arithmetic on the payload).  Computed ONCE at objective setup by
+    # routing the row-id broadcast through the plan (matching.py).
+    srow_colidx: Optional[Array] = None
 
     def tree_flatten(self):
-        children = (self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T)
+        children = (
+            self.row_tiles, self.zidx, self.row_pos, self.plan, self.col_tiles_T,
+            self.srow_colidx,
+        )
         aux = (self.use_tpu_kernel, self.col_offsets, self.row_shapes, self.col_pack)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         use_tpu_kernel, col_offsets, row_shapes, col_pack = aux
-        row_tiles, zidx, row_pos, plan, col_tiles_T = children
+        row_tiles, zidx, row_pos, plan, col_tiles_T, srow_colidx = children
         return cls(
             row_tiles=list(row_tiles),
             zidx=list(zidx) if zidx is not None else None,
@@ -192,6 +205,7 @@ class RowLayout:
             col_offsets=col_offsets,
             row_shapes=row_shapes,
             col_pack=col_pack,
+            srow_colidx=srow_colidx,
         )
 
 
